@@ -1,0 +1,629 @@
+"""Top-level VITS model: parameter init and the synthesis pipeline.
+
+Synthesis is split into two jitted stages so spectrogram-frame counts can
+be bucketed tightly before the expensive decode:
+
+1. :meth:`VitsModel.infer_durations` — encoder + duration predictor ->
+   per-phoneme frame counts (tiny, cheap; its output is the only
+   device->host sync in the pipeline).
+2. :meth:`VitsModel.decode_frames` — encoder (recomputed — it is <2% of
+   FLOPs) + prior sample + flow inverse + HiFi-GAN over a static frame
+   capacity ``F``.
+
+:meth:`VitsModel.infer` runs both in one call (fixed frame capacity) for
+tests and the graft entry point.
+
+Tensor interface matches the reference ONNX graph contract
+(reference: mimic3_tts/voice.py:179-230): phoneme ids [B, T], lengths [B],
+scales (noise_scale, length_scale, noise_w), optional speaker id.
+"""
+
+from __future__ import annotations
+
+import typing
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ...config import ModelConfig
+from . import duration as dur
+from . import encoder as enc
+from . import flow as flw
+from . import hifigan as hfg
+from .layers import (
+    Params,
+    init_conv1d,
+    init_conv_transpose1d,
+    init_embedding,
+    init_layer_norm,
+    sequence_mask,
+)
+
+
+@dataclass(frozen=True)
+class VitsHyperparams:
+    """Static hyperparameters derived from a voice's ModelConfig."""
+
+    num_symbols: int
+    n_speakers: int
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    resblock: str = "1"
+    resblock_kernel_sizes: typing.Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: typing.Tuple[typing.Tuple[int, ...], ...] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    upsample_rates: typing.Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: typing.Tuple[int, ...] = (16, 16, 4, 4)
+    gin_channels: int = 0
+    use_sdp: bool = True
+
+    @property
+    def hop_length(self) -> int:
+        hop = 1
+        for r in self.upsample_rates:
+            hop *= r
+        return hop
+
+    @staticmethod
+    def from_config(config: ModelConfig) -> "VitsHyperparams":
+        return VitsHyperparams(
+            num_symbols=config.num_symbols,
+            n_speakers=config.n_speakers,
+            inter_channels=config.inter_channels,
+            hidden_channels=config.hidden_channels,
+            filter_channels=config.filter_channels,
+            n_heads=config.n_heads,
+            n_layers=config.n_layers,
+            kernel_size=config.kernel_size,
+            resblock=config.resblock,
+            resblock_kernel_sizes=tuple(config.resblock_kernel_sizes),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in config.resblock_dilation_sizes
+            ),
+            upsample_rates=tuple(config.upsample_rates),
+            upsample_initial_channel=config.upsample_initial_channel,
+            upsample_kernel_sizes=tuple(config.upsample_kernel_sizes),
+            gin_channels=config.gin_channels,
+            use_sdp=config.use_sdp,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_dds_conv(
+    key: jax.Array, channels: int, kernel_size: int, n_layers: int
+) -> Params:
+    keys = jax.random.split(key, n_layers * 2)
+    p: Params = {
+        "convs_sep": {},
+        "convs_1x1": {},
+        "norms_1": {},
+        "norms_2": {},
+    }
+    for i in range(n_layers):
+        si = str(i)
+        p["convs_sep"][si] = init_conv1d(
+            keys[2 * i], channels, channels, kernel_size, groups=channels
+        )
+        p["convs_1x1"][si] = init_conv1d(
+            keys[2 * i + 1], channels, channels, 1
+        )
+        p["norms_1"][si] = init_layer_norm(channels)
+        p["norms_2"][si] = init_layer_norm(channels)
+    return p
+
+
+def _init_conv_flow(
+    key: jax.Array,
+    half_channels: int,
+    filter_channels: int,
+    kernel_size: int,
+    n_layers: int,
+    num_bins: int,
+) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "pre": init_conv1d(k1, half_channels, filter_channels, 1),
+        "convs": _init_dds_conv(k2, filter_channels, kernel_size, n_layers),
+        "proj": init_conv1d(
+            key,
+            filter_channels,
+            half_channels * (num_bins * 3 - 1),
+            1,
+            init="zeros",
+        ),
+    }
+
+
+def _init_sdp_flows(key: jax.Array, filter_channels: int) -> Params:
+    keys = jax.random.split(key, dur.SDP_N_FLOWS)
+    flows: Params = {
+        "0": {
+            "m": jnp.zeros((2,), jnp.float32),
+            "logs": jnp.zeros((2,), jnp.float32),
+        }
+    }
+    for i in range(dur.SDP_N_FLOWS):
+        flows[str(2 * i + 1)] = _init_conv_flow(
+            keys[i],
+            1,
+            filter_channels,
+            dur.SDP_KERNEL,
+            dur.SDP_DDS_LAYERS,
+            dur.SDP_NUM_BINS,
+        )
+    return flows
+
+
+def _init_sdp(key: jax.Array, hp: VitsHyperparams) -> Params:
+    # VITS: StochasticDurationPredictor(hidden, 192, 3, 0.5, 4, gin)
+    filter_channels = 192
+    keys = jax.random.split(key, 8)
+    p: Params = {
+        "pre": init_conv1d(keys[0], hp.hidden_channels, filter_channels, 1),
+        "proj": init_conv1d(keys[1], filter_channels, filter_channels, 1),
+        "convs": _init_dds_conv(
+            keys[2], filter_channels, dur.SDP_KERNEL, dur.SDP_DDS_LAYERS
+        ),
+        "flows": _init_sdp_flows(keys[3], filter_channels),
+        "post_pre": init_conv1d(keys[4], 1, filter_channels, 1),
+        "post_proj": init_conv1d(
+            keys[5], filter_channels, filter_channels, 1
+        ),
+        "post_convs": _init_dds_conv(
+            keys[6], filter_channels, dur.SDP_KERNEL, dur.SDP_DDS_LAYERS
+        ),
+        "post_flows": _init_sdp_flows(keys[7], filter_channels),
+    }
+    if hp.gin_channels > 0:
+        p["cond"] = init_conv1d(
+            jax.random.fold_in(key, 99), hp.gin_channels, filter_channels, 1
+        )
+    return p
+
+
+def _init_dp(key: jax.Array, hp: VitsHyperparams) -> Params:
+    # VITS: DurationPredictor(hidden, 256, 3, 0.5, gin)
+    filter_channels = 256
+    keys = jax.random.split(key, 4)
+    p: Params = {
+        "conv_1": init_conv1d(
+            keys[0], hp.hidden_channels, filter_channels, dur.SDP_KERNEL
+        ),
+        "norm_1": init_layer_norm(filter_channels),
+        "conv_2": init_conv1d(
+            keys[1], filter_channels, filter_channels, dur.SDP_KERNEL
+        ),
+        "norm_2": init_layer_norm(filter_channels),
+        "proj": init_conv1d(keys[2], filter_channels, 1, 1),
+    }
+    if hp.gin_channels > 0:
+        p["cond"] = init_conv1d(
+            keys[3], hp.gin_channels, hp.hidden_channels, 1
+        )
+    return p
+
+
+def _init_encoder(key: jax.Array, hp: VitsHyperparams) -> Params:
+    head_dim = hp.hidden_channels // hp.n_heads
+    keys = jax.random.split(key, hp.n_layers * 8 + 2)
+    p: Params = {
+        "emb": init_embedding(keys[0], hp.num_symbols, hp.hidden_channels),
+        "attn_layers": {},
+        "norm_layers_1": {},
+        "ffn_layers": {},
+        "norm_layers_2": {},
+        "proj": init_conv1d(
+            keys[1], hp.hidden_channels, 2 * hp.inter_channels, 1
+        ),
+    }
+    rel_stddev = head_dim**-0.5
+    ki = 2
+    for i in range(hp.n_layers):
+        si = str(i)
+        p["attn_layers"][si] = {
+            "conv_q": init_conv1d(
+                keys[ki], hp.hidden_channels, hp.hidden_channels, 1
+            ),
+            "conv_k": init_conv1d(
+                keys[ki + 1], hp.hidden_channels, hp.hidden_channels, 1
+            ),
+            "conv_v": init_conv1d(
+                keys[ki + 2], hp.hidden_channels, hp.hidden_channels, 1
+            ),
+            "conv_o": init_conv1d(
+                keys[ki + 3], hp.hidden_channels, hp.hidden_channels, 1
+            ),
+            "emb_rel_k": rel_stddev
+            * jax.random.normal(
+                keys[ki + 4],
+                (1, 2 * enc.WINDOW_SIZE + 1, head_dim),
+                jnp.float32,
+            ),
+            "emb_rel_v": rel_stddev
+            * jax.random.normal(
+                keys[ki + 5],
+                (1, 2 * enc.WINDOW_SIZE + 1, head_dim),
+                jnp.float32,
+            ),
+        }
+        p["norm_layers_1"][si] = init_layer_norm(hp.hidden_channels)
+        p["ffn_layers"][si] = {
+            "conv_1": init_conv1d(
+                keys[ki + 6],
+                hp.hidden_channels,
+                hp.filter_channels,
+                hp.kernel_size,
+            ),
+            "conv_2": init_conv1d(
+                keys[ki + 7],
+                hp.filter_channels,
+                hp.hidden_channels,
+                hp.kernel_size,
+            ),
+        }
+        p["norm_layers_2"][si] = init_layer_norm(hp.hidden_channels)
+        ki += 8
+    return p
+
+
+def _init_wavenet(
+    key: jax.Array,
+    hidden: int,
+    kernel_size: int,
+    n_layers: int,
+    gin_channels: int,
+) -> Params:
+    keys = jax.random.split(key, 2 * n_layers + 1)
+    p: Params = {"in_layers": {}, "res_skip_layers": {}}
+    for i in range(n_layers):
+        si = str(i)
+        p["in_layers"][si] = init_conv1d(
+            keys[2 * i], hidden, 2 * hidden, kernel_size, weight_norm=True
+        )
+        out_ch = 2 * hidden if i < n_layers - 1 else hidden
+        p["res_skip_layers"][si] = init_conv1d(
+            keys[2 * i + 1], hidden, out_ch, 1, weight_norm=True
+        )
+    if gin_channels > 0:
+        p["cond_layer"] = init_conv1d(
+            keys[-1], gin_channels, 2 * hidden * n_layers, 1, weight_norm=True
+        )
+    return p
+
+
+def _init_flow(key: jax.Array, hp: VitsHyperparams) -> Params:
+    half = hp.inter_channels // 2
+    hidden = hp.hidden_channels
+    keys = jax.random.split(key, flw.N_COUPLING * 3)
+    flows: Params = {}
+    for i in range(flw.N_COUPLING):
+        flows[str(2 * i)] = {
+            "pre": init_conv1d(keys[3 * i], half, hidden, 1),
+            "enc": _init_wavenet(
+                keys[3 * i + 1],
+                hidden,
+                flw.WN_KERNEL,
+                flw.WN_LAYERS,
+                hp.gin_channels,
+            ),
+            "post": init_conv1d(
+                keys[3 * i + 2], hidden, half, 1, init="zeros"
+            ),
+        }
+    return {"flows": flows}
+
+
+def _init_hifigan(key: jax.Array, hp: VitsHyperparams) -> Params:
+    keys = jax.random.split(key, 64)
+    ki = 0
+
+    def next_key() -> jax.Array:
+        nonlocal ki
+        k = keys[ki]
+        ki += 1
+        return k
+
+    p: Params = {
+        "conv_pre": init_conv1d(
+            next_key(), hp.inter_channels, hp.upsample_initial_channel, 7
+        ),
+        "ups": {},
+        "resblocks": {},
+    }
+    num_kernels = len(hp.resblock_kernel_sizes)
+    ch = hp.upsample_initial_channel
+    for i, (u, k) in enumerate(
+        zip(hp.upsample_rates, hp.upsample_kernel_sizes)
+    ):
+        out_ch = ch // 2
+        p["ups"][str(i)] = init_conv_transpose1d(
+            next_key(), ch, out_ch, k, weight_norm=True
+        )
+        for j, (rk, rd) in enumerate(
+            zip(hp.resblock_kernel_sizes, hp.resblock_dilation_sizes)
+        ):
+            idx = str(i * num_kernels + j)
+            if hp.resblock == "1":
+                p["resblocks"][idx] = {
+                    "convs1": {
+                        str(jj): init_conv1d(
+                            next_key(),
+                            out_ch,
+                            out_ch,
+                            rk,
+                            weight_norm=True,
+                            init="normal",
+                        )
+                        for jj in range(len(rd))
+                    },
+                    "convs2": {
+                        str(jj): init_conv1d(
+                            next_key(),
+                            out_ch,
+                            out_ch,
+                            rk,
+                            weight_norm=True,
+                            init="normal",
+                        )
+                        for jj in range(len(rd))
+                    },
+                }
+            else:
+                p["resblocks"][idx] = {
+                    "convs": {
+                        str(jj): init_conv1d(
+                            next_key(),
+                            out_ch,
+                            out_ch,
+                            rk,
+                            weight_norm=True,
+                            init="normal",
+                        )
+                        for jj in range(len(rd))
+                    }
+                }
+        ch = out_ch
+    p["conv_post"] = init_conv1d(next_key(), ch, 1, 7, bias=False)
+    if hp.gin_channels > 0:
+        p["cond"] = init_conv1d(
+            next_key(), hp.gin_channels, hp.upsample_initial_channel, 1
+        )
+    return p
+
+
+def init_vits_params(
+    rng: jax.Array, config: ModelConfig
+) -> Params:
+    """Random-initialize a full VITS parameter pytree.
+
+    Naming mirrors torch VITS (``enc_p``, ``dp``, ``flow``, ``dec``,
+    ``emb_g``) so converted checkpoints drop in unchanged.
+    """
+    hp = VitsHyperparams.from_config(config)
+    k_enc, k_dp, k_flow, k_dec, k_g = jax.random.split(rng, 5)
+    params: Params = {
+        "enc_p": _init_encoder(k_enc, hp),
+        "dp": _init_sdp(k_dp, hp) if hp.use_sdp else _init_dp(k_dp, hp),
+        "flow": _init_flow(k_flow, hp),
+        "dec": _init_hifigan(k_dec, hp),
+    }
+    if hp.n_speakers > 1:
+        params["emb_g"] = {
+            "weight": jax.random.normal(
+                k_g, (hp.n_speakers, hp.gin_channels), jnp.float32
+            )
+            * (hp.gin_channels**-0.5)
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Inference
+# ---------------------------------------------------------------------------
+
+
+def expand_by_durations(
+    values: jax.Array, durations: jax.Array, num_frames: int
+) -> jax.Array:
+    """Expand text-aligned values [B, T, C] to frames [B, F, C].
+
+    ``durations``: int32 [B, T] frames per phoneme.  Frame ``f`` takes the
+    value of the phoneme whose cumulative-duration interval contains it
+    (past-the-end frames clamp to the last phoneme; callers mask them).
+    """
+    cum = jnp.cumsum(durations, axis=1)  # [B, T]
+    frames = jnp.arange(num_frames, dtype=cum.dtype)  # [F]
+    idx = jax.vmap(
+        lambda c: jnp.searchsorted(c, frames, side="right")
+    )(cum)
+    idx = jnp.minimum(idx, values.shape[1] - 1)
+    return jnp.take_along_axis(values, idx[..., None], axis=1)
+
+
+class VitsModel:
+    """Functional VITS model bound to a voice's hyperparameters."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        compute_dtype: jnp.dtype = jnp.float32,
+        decoder_dtype: jnp.dtype = jnp.bfloat16,
+    ):
+        self.hp = VitsHyperparams.from_config(config)
+        self.compute_dtype = compute_dtype
+        self.decoder_dtype = decoder_dtype
+
+    # -- submodule wrappers --------------------------------------------------
+
+    def encode(
+        self, params: Params, ids: jax.Array, x_mask: jax.Array
+    ) -> typing.Tuple[jax.Array, jax.Array, jax.Array]:
+        return enc.text_encoder(
+            params["enc_p"],
+            ids,
+            x_mask,
+            n_layers=self.hp.n_layers,
+            n_heads=self.hp.n_heads,
+            kernel_size=self.hp.kernel_size,
+        )
+
+    def speaker_embedding(
+        self, params: Params, sid: jax.Array
+    ) -> typing.Optional[jax.Array]:
+        if "emb_g" not in params:
+            return None
+        return jnp.take(params["emb_g"]["weight"], sid, axis=0)[
+            :, None, :
+        ]  # [B, 1, gin]
+
+    def log_durations(
+        self,
+        params: Params,
+        x: jax.Array,
+        x_mask: jax.Array,
+        rng: jax.Array,
+        noise_w: jax.Array,
+        g: typing.Optional[jax.Array],
+        noise: typing.Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if self.hp.use_sdp:
+            return dur.stochastic_duration_predictor_infer(
+                params["dp"], x, x_mask, rng, noise_w, g=g, noise=noise
+            )
+        return dur.duration_predictor(params["dp"], x, x_mask, g=g)
+
+    # -- stage 1: durations ----------------------------------------------------
+
+    def infer_durations(
+        self,
+        params: Params,
+        ids: jax.Array,
+        lengths: jax.Array,
+        rng: jax.Array,
+        length_scale: jax.Array,
+        noise_w: jax.Array,
+        sid: typing.Optional[jax.Array] = None,
+        dur_noise: typing.Optional[jax.Array] = None,
+    ) -> typing.Tuple[jax.Array, jax.Array]:
+        """Returns (frame counts per phoneme int32 [B, T], totals [B])."""
+        x_mask = sequence_mask(lengths, ids.shape[1])
+        g = self.speaker_embedding(params, sid) if sid is not None else None
+        x, _, _ = self.encode(params, ids, x_mask)
+        logw = self.log_durations(
+            params,
+            x,
+            x_mask,
+            jax.random.fold_in(rng, 0),
+            noise_w,
+            g,
+            noise=dur_noise,
+        )
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w)[..., 0].astype(jnp.int32)
+        totals = jnp.maximum(jnp.sum(w_ceil, axis=1), 1)
+        return w_ceil, totals
+
+    # -- stage 2: decode -------------------------------------------------------
+
+    def decode_frames(
+        self,
+        params: Params,
+        ids: jax.Array,
+        lengths: jax.Array,
+        durations: jax.Array,
+        num_frames: int,
+        rng: jax.Array,
+        noise_scale: jax.Array,
+        sid: typing.Optional[jax.Array] = None,
+        prior_noise: typing.Optional[jax.Array] = None,
+    ) -> typing.Tuple[jax.Array, jax.Array]:
+        """Decode to audio given per-phoneme frame counts.
+
+        Returns (audio [B, num_frames*hop] float32, sample lengths [B]).
+        """
+        x_mask = sequence_mask(lengths, ids.shape[1])
+        g = self.speaker_embedding(params, sid) if sid is not None else None
+        _, m_p, logs_p = self.encode(params, ids, x_mask)
+
+        durations = durations * x_mask[..., 0].astype(durations.dtype)
+        y_lengths = jnp.maximum(jnp.sum(durations, axis=1), 1)
+        y_mask = sequence_mask(y_lengths, num_frames)
+
+        m_p_f = expand_by_durations(m_p, durations, num_frames)
+        logs_p_f = expand_by_durations(logs_p, durations, num_frames)
+
+        if prior_noise is None:
+            prior_noise = jax.random.normal(
+                jax.random.fold_in(rng, 1), m_p_f.shape, jnp.float32
+            )
+        z_p = m_p_f + prior_noise * jnp.exp(logs_p_f) * noise_scale
+        z_p = z_p * y_mask
+
+        z = flw.residual_coupling_block(
+            params["flow"], z_p, y_mask, g=g, reverse=True
+        )
+
+        audio = hfg.hifigan_generator(
+            params["dec"],
+            z * y_mask,
+            g=g,
+            resblock_type=self.hp.resblock,
+            resblock_kernel_sizes=self.hp.resblock_kernel_sizes,
+            resblock_dilation_sizes=self.hp.resblock_dilation_sizes,
+            upsample_rates=self.hp.upsample_rates,
+            upsample_kernel_sizes=self.hp.upsample_kernel_sizes,
+            compute_dtype=self.decoder_dtype,
+        )
+        return audio, y_lengths * self.hp.hop_length
+
+    # -- one-shot convenience ----------------------------------------------------
+
+    def infer(
+        self,
+        params: Params,
+        ids: jax.Array,
+        lengths: jax.Array,
+        rng: jax.Array,
+        noise_scale: jax.Array,
+        length_scale: jax.Array,
+        noise_w: jax.Array,
+        max_frames: int,
+        sid: typing.Optional[jax.Array] = None,
+    ) -> typing.Tuple[jax.Array, jax.Array]:
+        """Full pipeline with a fixed frame capacity (single jit unit).
+
+        Frame counts beyond ``max_frames`` are truncated.  Serving uses the
+        two-stage path instead so the capacity hugs the actual length.
+        """
+        durations, _ = self.infer_durations(
+            params, ids, lengths, rng, length_scale, noise_w, sid=sid
+        )
+        # Clamp cumulative durations into the fixed capacity.
+        cum = jnp.cumsum(durations, axis=1)
+        cum = jnp.minimum(cum, max_frames)
+        durations = jnp.concatenate(
+            [cum[:, :1], cum[:, 1:] - cum[:, :-1]], axis=1
+        )
+        return self.decode_frames(
+            params,
+            ids,
+            lengths,
+            durations,
+            max_frames,
+            rng,
+            noise_scale,
+            sid=sid,
+        )

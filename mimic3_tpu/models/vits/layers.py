@@ -73,7 +73,7 @@ def conv1d(
     w = conv_weight(p)
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
+    w = w.astype(x.dtype)  # params live in f32; compute in x's dtype
     out = jax.lax.conv_general_dilated(
         x,
         w,
@@ -107,7 +107,7 @@ def conv_transpose1d(
     w = conv_weight(p)  # [K, Cin, Cout]
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
+    w = w.astype(x.dtype)
     k = w.shape[0]
     w = jnp.flip(w, axis=0)
     pad = k - 1 - padding

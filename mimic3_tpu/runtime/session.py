@@ -1,0 +1,313 @@
+"""Compiled VITS session: static-shape buckets, jit cache, RTF tracking.
+
+This is the TPU replacement for the reference's ONNX Runtime
+``InferenceSession`` (reference: mimic3_tts/voice.py:378-407).  Where ORT
+interprets a graph per call, here XLA compiles one executable per
+(text-bucket, frame-bucket) pair; inputs are padded up to the nearest
+bucket so the serving hot path never recompiles
+(reference contract being replaced: mimic3_tts/voice.py:154-243).
+
+Synthesis is two device calls:
+1. duration pass over the text bucket (cheap) — the only host sync,
+2. decode pass over a frame bucket sized to the actual output length.
+
+Sessions are shared per weight file like the reference's shared ONNX
+models (reference: mimic3_tts/voice.py:71-72, 277-292).
+"""
+
+from __future__ import annotations
+
+import bisect
+import logging
+import threading
+import time
+import typing
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import TrainingConfig
+
+_LOGGER = logging.getLogger(__name__)
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+@dataclass
+class SessionStats:
+    """Rolling synthesis statistics (RTF = infer_sec / audio_sec)."""
+
+    utterances: int = 0
+    infer_sec: float = 0.0
+    audio_sec: float = 0.0
+    compile_count: int = 0
+    last_rtf: float = 0.0
+    rtf_history: typing.List[float] = field(default_factory=list)
+
+    def record(self, infer_sec: float, audio_sec: float) -> None:
+        self.utterances += 1
+        self.infer_sec += infer_sec
+        self.audio_sec += audio_sec
+        self.last_rtf = infer_sec / audio_sec if audio_sec > 0 else 0.0
+        self.rtf_history.append(self.last_rtf)
+        if len(self.rtf_history) > 1000:
+            del self.rtf_history[:-1000]
+
+    @property
+    def mean_rtf(self) -> float:
+        return self.infer_sec / self.audio_sec if self.audio_sec else 0.0
+
+
+def pick_bucket(n: int, buckets: typing.Sequence[int]) -> int:
+    """Smallest bucket >= n; grows geometrically past the largest."""
+    idx = bisect.bisect_left(buckets, n)
+    if idx < len(buckets):
+        return buckets[idx]
+    cap = buckets[-1]
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class VitsSession:
+    """A voice's compiled synthesis engine on one device (or mesh)."""
+
+    _SHARED: typing.Dict[str, "VitsSession"] = {}
+    _SHARED_LOCK = threading.Lock()
+
+    def __init__(
+        self,
+        config: TrainingConfig,
+        params: typing.Mapping[str, typing.Any],
+        *,
+        deterministic: bool = False,
+        seed: int = 0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.vits import VitsModel
+
+        self.config = config
+        self.deterministic = deterministic
+        compute_dtype = jnp.dtype(config.tpu.compute_dtype)
+        decoder_dtype = (
+            jnp.float32 if deterministic
+            else jnp.dtype(config.tpu.decoder_dtype)
+        )
+        self.model = VitsModel(
+            config.model,
+            compute_dtype=compute_dtype,
+            decoder_dtype=decoder_dtype,
+        )
+        self.params = jax.tree_util.tree_map(jnp.asarray, dict(params))
+        self.text_buckets = tuple(config.tpu.text_buckets)
+        self.frame_buckets = tuple(config.tpu.frame_buckets)
+        self.stats = SessionStats()
+        self._base_key = jax.random.PRNGKey(seed)
+        self._call_counter = 0
+        self._lock = threading.Lock()
+
+        multispeaker = config.model.is_multispeaker
+
+        def dur_fn(params, ids, lengths, rng, length_scale, noise_w, sid):
+            return self.model.infer_durations(
+                params, ids, lengths, rng, length_scale, noise_w,
+                sid=sid if multispeaker else None,
+            )
+
+        def dec_fn(
+            params, ids, lengths, durations, rng, noise_scale, sid,
+            *, num_frames,
+        ):
+            return self.model.decode_frames(
+                params, ids, lengths, durations, num_frames, rng,
+                noise_scale, sid=sid if multispeaker else None,
+            )
+
+        self._dur_fn = jax.jit(dur_fn)
+        self._dec_fn = jax.jit(dec_fn, static_argnames=("num_frames",))
+
+    # -- shared sessions -----------------------------------------------------
+
+    @classmethod
+    def get_shared(
+        cls,
+        key: str,
+        factory: typing.Callable[[], "VitsSession"],
+    ) -> "VitsSession":
+        with cls._SHARED_LOCK:
+            session = cls._SHARED.get(key)
+            if session is None:
+                session = factory()
+                cls._SHARED[key] = session
+            return session
+
+    # -- rng -------------------------------------------------------------------
+
+    def _next_key(self, seed: typing.Optional[int] = None):
+        jax = _jax()
+        if seed is not None:
+            return jax.random.PRNGKey(seed)
+        if self.deterministic:
+            return self._base_key
+        with self._lock:
+            self._call_counter += 1
+            counter = self._call_counter
+        return jax.random.fold_in(self._base_key, counter)
+
+    # -- synthesis ---------------------------------------------------------------
+
+    def synthesize_ids_batch(
+        self,
+        id_sequences: typing.Sequence[typing.Sequence[int]],
+        *,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+        seed: typing.Optional[int] = None,
+        max_frames_cap: int = 32768,
+    ) -> typing.List[np.ndarray]:
+        """Synthesize a batch of phoneme-id sequences -> float32 waveforms.
+
+        Sequences are padded to a shared text bucket; the decode stage runs
+        at the frame bucket covering the longest output in the batch.
+        """
+        import jax.numpy as jnp
+
+        start = time.perf_counter()
+        batch = len(id_sequences)
+        lengths = np.array([len(s) for s in id_sequences], np.int32)
+        t_bucket = pick_bucket(int(lengths.max()), self.text_buckets)
+        ids = np.zeros((batch, t_bucket), np.int32)
+        for i, seq in enumerate(id_sequences):
+            ids[i, : len(seq)] = np.asarray(seq, np.int32)
+
+        if speaker_ids is None:
+            sid = np.zeros((batch,), np.int32)
+        else:
+            sid = np.asarray(speaker_ids, np.int32)
+
+        rng = self._next_key(seed)
+        ids_j = jnp.asarray(ids)
+        lengths_j = jnp.asarray(lengths)
+        sid_j = jnp.asarray(sid)
+
+        durations, totals = self._dur_fn(
+            self.params,
+            ids_j,
+            lengths_j,
+            rng,
+            jnp.float32(length_scale),
+            jnp.float32(noise_w),
+            sid_j,
+        )
+        totals_np = np.asarray(totals)  # host sync (tiny transfer)
+        needed = int(totals_np.max())
+        if needed > max_frames_cap:
+            _LOGGER.warning(
+                "Output of %d frames exceeds cap %d; truncating",
+                needed,
+                max_frames_cap,
+            )
+            needed = max_frames_cap
+        f_bucket = pick_bucket(needed, self.frame_buckets)
+
+        audio, sample_lengths = self._dec_fn(
+            self.params,
+            ids_j,
+            lengths_j,
+            durations,
+            rng,
+            jnp.float32(noise_scale),
+            sid_j,
+            num_frames=f_bucket,
+        )
+        audio_np = np.asarray(audio, dtype=np.float32)
+        sample_lengths_np = np.asarray(sample_lengths)
+
+        results = [
+            audio_np[i, : int(sample_lengths_np[i])] for i in range(batch)
+        ]
+
+        elapsed = time.perf_counter() - start
+        audio_sec = float(sample_lengths_np.sum()) / (
+            self.config.audio.sample_rate
+        )
+        self.stats.record(elapsed, audio_sec)
+        _LOGGER.debug(
+            "RTF: %s (batch=%d, t_bucket=%d, f_bucket=%d)",
+            self.stats.last_rtf,
+            batch,
+            t_bucket,
+            f_bucket,
+        )
+        return results
+
+    def synthesize_ids(
+        self,
+        phoneme_ids: typing.Sequence[int],
+        *,
+        speaker_id: typing.Optional[int] = None,
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+        seed: typing.Optional[int] = None,
+    ) -> np.ndarray:
+        """Single-utterance convenience around the batch path."""
+        return self.synthesize_ids_batch(
+            [phoneme_ids],
+            speaker_ids=None if speaker_id is None else [speaker_id],
+            length_scale=length_scale,
+            noise_scale=noise_scale,
+            noise_w=noise_w,
+            seed=seed,
+        )[0]
+
+    # -- warmup ---------------------------------------------------------------
+
+    def warmup(
+        self,
+        text_buckets: typing.Optional[typing.Sequence[int]] = None,
+        frame_buckets: typing.Optional[typing.Sequence[int]] = None,
+        batch_sizes: typing.Sequence[int] = (1,),
+    ) -> float:
+        """Pre-compile executables for the given bucket grid.
+
+        Returns total compile wall-time.  Serving calls this at startup so
+        no request ever pays XLA compilation
+        (the reference has the same concern with thread preloading,
+        mimic3_http/synthesis.py:106-110).
+        """
+        import jax.numpy as jnp
+
+        start = time.perf_counter()
+        tb = tuple(text_buckets or self.text_buckets)
+        fb = tuple(frame_buckets or self.frame_buckets)
+        rng = self._next_key(0)
+        for b in batch_sizes:
+            for t in tb:
+                ids = jnp.zeros((b, t), jnp.int32)
+                lengths = jnp.full((b,), t, jnp.int32)
+                sid = jnp.zeros((b,), jnp.int32)
+                durations, _ = self._dur_fn(
+                    self.params, ids, lengths, rng,
+                    jnp.float32(1.0), jnp.float32(0.8), sid,
+                )
+                for f in fb:
+                    self._dec_fn(
+                        self.params, ids, lengths, durations, rng,
+                        jnp.float32(0.667), sid, num_frames=f,
+                    )
+        elapsed = time.perf_counter() - start
+        self.stats.compile_count += len(tb) * (len(fb) + 1) * len(
+            batch_sizes
+        )
+        _LOGGER.info("Warmup compiled %s buckets in %.1fs",
+                     self.stats.compile_count, elapsed)
+        return elapsed

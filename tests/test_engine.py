@@ -1,0 +1,147 @@
+"""Engine tests: voice discovery, utterance assembly, text_to_wav."""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from mimic3_tpu.api import AudioResult, MarkResult
+from mimic3_tpu.engine import (
+    Mimic3Settings,
+    Mimic3TextToSpeechSystem,
+    VoiceNotFoundError,
+)
+from mimic3_tpu.runtime.testvoice import create_test_voice
+
+
+@pytest.fixture(scope="module")
+def voices_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine_voices")
+    create_test_voice(root / "en_US" / "test_low", full_size=False)
+    (root / "en_US" / "test_low" / "ALIASES").write_text("tester\n")
+    return root
+
+
+@pytest.fixture()
+def tts(voices_root):
+    return Mimic3TextToSpeechSystem(
+        Mimic3Settings(
+            voice="en_US/test_low",
+            voices_directories=[voices_root],
+            no_download=True,
+        )
+    )
+
+
+def test_get_voices(tts):
+    voices = list(tts.get_voices())
+    local = [v for v in voices if v.key == "en_US/test_low"]
+    assert len(local) == 1
+    assert "tester" in (local[0].aliases or set())
+    # registry voices are listed as remote entries
+    remote = [v for v in voices if v.key == "en_UK/apope_low"]
+    assert len(remote) == 1
+    assert remote[0].location.startswith("http")
+
+
+def test_voice_not_found(tts):
+    tts.voice = "xx_XX/nope_low"
+    with pytest.raises(VoiceNotFoundError):
+        tts.speak_text("hi")
+
+
+def test_voice_speaker_split(tts):
+    tts.voice = "en_US/test_low#3"
+    assert tts.voice == "en_US/test_low"
+    assert tts.speaker == "3"
+    # changing voice clears speaker
+    tts.voice = "en_US/other"
+    assert tts.speaker is None
+
+
+def test_alias_loads(tts):
+    tts.voice = "tester"
+    tts.speak_text("hello")
+    results = list(tts.end_utterance())
+    assert any(isinstance(r, AudioResult) for r in results)
+
+
+def test_text_to_wav(tts):
+    wav_bytes = tts.text_to_wav("hello world")
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() > 0
+
+
+def test_marks_and_breaks(tts):
+    tts.begin_utterance()
+    tts.speak_text("one")
+    tts.set_mark("m1")
+    tts.add_break(100)
+    tts.speak_text("two")
+    results = list(tts.end_utterance())
+    kinds = [type(r).__name__ for r in results]
+    assert kinds.count("MarkResult") == 1
+    # audio, mark, silence, audio
+    assert kinds == [
+        "AudioResult",
+        "MarkResult",
+        "AudioResult",
+        "AudioResult",
+    ]
+    mark = [r for r in results if isinstance(r, MarkResult)][0]
+    assert mark.name == "m1"
+    # break silence is 100ms of int16 zeros
+    silence = results[2]
+    assert len(silence.audio_bytes) == int(0.1 * 22050) * 2
+    assert not any(silence.audio_bytes)
+
+
+def test_volume_scaling(tts):
+    tts.volume = 50
+    tts.speak_text("loud")
+    half = [
+        r for r in tts.end_utterance() if isinstance(r, AudioResult)
+    ][0]
+    tts.volume = 100
+    tts.speak_text("loud")
+    full = [
+        r for r in tts.end_utterance() if isinstance(r, AudioResult)
+    ][0]
+    half_arr = np.frombuffer(half.audio_bytes, np.int16)
+    full_arr = np.frombuffer(full.audio_bytes, np.int16)
+    assert abs(half_arr.astype(np.float64)).max() <= (
+        abs(full_arr.astype(np.float64)).max() / 2 + 1
+    )
+
+
+def test_settings_change_flushes(tts):
+    """Rate change mid-utterance must split synthesis at the boundary."""
+    tts.begin_utterance()
+    tts.speak_text("first part")
+    tts.rate = 2.0
+    tts.speak_text("second part")
+    results = list(tts.end_utterance())
+    audio = [r for r in results if isinstance(r, AudioResult)]
+    assert len(audio) == 2
+
+
+def test_deterministic_synthesis(voices_root):
+    def synth():
+        tts = Mimic3TextToSpeechSystem(
+            Mimic3Settings(
+                voice="en_US/test_low",
+                voices_directories=[voices_root],
+                no_download=True,
+                noise_scale=0.0,
+                noise_w=0.0,
+                use_deterministic_compute=True,
+                share_sessions=False,
+            )
+        )
+        return tts.text_to_wav("the same text every time")
+
+    assert synth() == synth()

@@ -1,0 +1,156 @@
+"""Benchmark: batched synthesis throughput on the current JAX device.
+
+Measures audio-seconds generated per wall-second per chip on the real
+``*_low`` VITS dimensions (the exact architecture of Mimic 3 voices) and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "audio-sec/sec/chip",
+     "vs_baseline": N/1000, ...}
+
+Baseline: 1000 audio-sec/sec/chip batched on TPU v5e, and >= 50x
+real-time single-stream (BASELINE.md).  The reference's own RTF is
+DEBUG-logged only, never published (reference: mimic3_tts/voice.py:234-241).
+
+Weights are random (no trained voices are downloadable in this
+environment); throughput depends only on the architecture, not weight
+values.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--phonemes", type=int, default=128)
+    parser.add_argument("--frames", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument(
+        "--single-stream",
+        action="store_true",
+        help="Also report single-stream RTF",
+    )
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mimic3_tpu.config import ModelConfig
+    from mimic3_tpu.models.vits import VitsModel, init_vits_params
+
+    device = jax.devices()[0]
+    print(f"device: {device}", file=sys.stderr)
+
+    config = ModelConfig(num_symbols=130)  # real *_low dims
+    model = VitsModel(config, decoder_dtype=jnp.bfloat16)
+    params = init_vits_params(jax.random.PRNGKey(0), config)
+    params = jax.device_put(params)
+
+    sample_rate = 22050
+    hop = model.hp.hop_length
+
+    rng_np = np.random.RandomState(0)
+    ids = jnp.asarray(
+        rng_np.randint(1, 130, (args.batch, args.phonemes)), jnp.int32
+    )
+    lengths = jnp.full((args.batch,), args.phonemes, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    dur_fn = jax.jit(model.infer_durations)
+    dec_fn = jax.jit(
+        model.decode_frames, static_argnames=("num_frames",)
+    )
+
+    def synthesize(step_rng):
+        durations, _totals = dur_fn(
+            params, ids, lengths, step_rng,
+            jnp.float32(1.0), jnp.float32(0.8),
+        )
+        audio, sample_lengths = dec_fn(
+            params, ids, lengths, durations, step_rng,
+            jnp.float32(0.667), num_frames=args.frames,
+        )
+        return audio, sample_lengths
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    for i in range(args.warmup):
+        audio, sample_lengths = synthesize(jax.random.fold_in(rng, i))
+        jax.block_until_ready(audio)
+    print(
+        f"warmup+compile: {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+    # timed: full pipeline including the duration->frames host sync
+    total_audio_sec = 0.0
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        audio, sample_lengths = synthesize(
+            jax.random.fold_in(rng, 1000 + i)
+        )
+        # cap valid samples at the decode capacity, like serving does
+        lengths_np = np.minimum(
+            np.asarray(sample_lengths), args.frames * hop
+        )
+        total_audio_sec += float(lengths_np.sum()) / sample_rate
+    jax.block_until_ready(audio)
+    elapsed = time.perf_counter() - t0
+
+    throughput = total_audio_sec / elapsed
+
+    result = {
+        "metric": "batched synthesis throughput (VITS *_low, "
+        f"batch={args.batch}, {args.phonemes} phonemes)",
+        "value": round(throughput, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(throughput / 1000.0, 3),
+        "extra": {
+            "device": str(device),
+            "elapsed_sec": round(elapsed, 2),
+            "audio_sec": round(total_audio_sec, 1),
+            "iters": args.iters,
+        },
+    }
+
+    if args.single_stream:
+        ids1 = ids[:1]
+        len1 = lengths[:1]
+
+        def synth1(step_rng):
+            durations, _ = dur_fn(
+                params, ids1, len1, step_rng,
+                jnp.float32(1.0), jnp.float32(0.8),
+            )
+            return dec_fn(
+                params, ids1, len1, durations, step_rng,
+                jnp.float32(0.667), num_frames=args.frames,
+            )
+
+        a, sl = synth1(rng)
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        n = 10
+        audio_sec = 0.0
+        for i in range(n):
+            a, sl = synth1(jax.random.fold_in(rng, 2000 + i))
+            audio_sec += float(
+                min(int(sl[0]), args.frames * hop)
+            ) / sample_rate
+        jax.block_until_ready(a)
+        single_elapsed = time.perf_counter() - t0
+        result["extra"]["single_stream_x_realtime"] = round(
+            audio_sec / single_elapsed, 1
+        )
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

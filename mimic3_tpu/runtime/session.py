@@ -111,6 +111,7 @@ class VitsSession:
         self._base_key = jax.random.PRNGKey(seed)
         self._call_counter = 0
         self._lock = threading.Lock()
+        self.batcher = None  # optional server-side BatchScheduler
 
         multispeaker = config.model.is_multispeaker
 
@@ -259,7 +260,20 @@ class VitsSession:
         noise_w: float = 0.8,
         seed: typing.Optional[int] = None,
     ) -> np.ndarray:
-        """Single-utterance convenience around the batch path."""
+        """Single utterance; routed through the batching scheduler when
+        one is attached (server mode) so concurrent callers share TPU
+        batches."""
+        batcher = self.batcher
+        if batcher is not None and not batcher.is_scheduler_thread:
+            return batcher.submit(
+                self,
+                phoneme_ids,
+                speaker_id=speaker_id or 0,
+                length_scale=length_scale,
+                noise_scale=noise_scale,
+                noise_w=noise_w,
+                seed=seed,
+            ).result()
         return self.synthesize_ids_batch(
             [phoneme_ids],
             speaker_ids=None if speaker_id is None else [speaker_id],

@@ -1,0 +1,155 @@
+"""``mimic3-server`` entry point.
+
+Flag-compatible with the reference server CLI
+(reference: mimic3_http/args.py:24-111, default port 59125) plus
+TPU-serving knobs (--max-batch, --batch-delay-ms, --warmup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import typing
+from dataclasses import dataclass, field
+
+_LOGGER = logging.getLogger(__name__)
+
+_MISSING = object()
+
+
+@dataclass
+class ServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 59125
+    voice: typing.Optional[str] = None
+    voices_dir: typing.Optional[typing.List[str]] = None
+    preload_voice: typing.List[str] = field(default_factory=list)
+    length_scale: typing.Optional[float] = None
+    noise_scale: typing.Optional[float] = None
+    noise_w: typing.Optional[float] = None
+    cache_dir: typing.Optional[str] = None
+    max_text_length: typing.Optional[int] = None
+    deterministic: bool = False
+    no_download: bool = False
+    play_program: str = "aplay -q -t wav"
+    num_workers: int = 8
+    max_batch: int = 16
+    batch_delay_ms: float = 5.0
+    warmup: bool = False
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="mimic3-server",
+        description="TPU-native text-to-speech HTTP server "
+        "(Mimic 3 API compatible)",
+    )
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=59125)
+    parser.add_argument("--voice", help="Default voice")
+    parser.add_argument(
+        "--voices-dir", action="append", help="Extra voice directories"
+    )
+    parser.add_argument(
+        "--preload-voice", action="append", default=[],
+        help="Load voice(s) at startup",
+    )
+    parser.add_argument("--length-scale", type=float)
+    parser.add_argument("--noise-scale", type=float)
+    parser.add_argument("--noise-w", type=float)
+    parser.add_argument(
+        "--cache-dir",
+        nargs="?",
+        const=None,
+        default=_MISSING,
+        help="Cache WAV files (no argument = temporary dir)",
+    )
+    parser.add_argument("--max-text-length", type=int)
+    parser.add_argument("--deterministic", action="store_true")
+    parser.add_argument("--no-download", action="store_true")
+    parser.add_argument(
+        "--play-program",
+        default="aplay -q -t wav",
+        help="Program for audioTarget=server playback",
+    )
+    parser.add_argument(
+        "--num-threads",
+        "--num-workers",
+        dest="num_workers",
+        type=int,
+        default=8,
+        help="Host-side synthesis workers (phonemization etc.)",
+    )
+    parser.add_argument(
+        "--max-batch", type=int, default=16,
+        help="Max requests packed into one TPU batch",
+    )
+    parser.add_argument(
+        "--batch-delay-ms", type=float, default=5.0,
+        help="Max wait to fill a TPU batch",
+    )
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="Pre-compile all buckets for preloaded voices at startup",
+    )
+    parser.add_argument("--debug", action="store_true")
+    return parser
+
+
+def config_from_args(args: argparse.Namespace) -> ServerConfig:
+    import tempfile
+
+    cache_dir: typing.Optional[str]
+    if args.cache_dir is _MISSING:
+        cache_dir = None  # caching disabled
+    elif args.cache_dir is None:
+        cache_dir = tempfile.mkdtemp(prefix="mimic3_tpu_cache_")
+    else:
+        cache_dir = args.cache_dir
+
+    return ServerConfig(
+        host=args.host,
+        port=args.port,
+        voice=args.voice,
+        voices_dir=args.voices_dir,
+        preload_voice=args.preload_voice,
+        length_scale=args.length_scale,
+        noise_scale=args.noise_scale,
+        noise_w=args.noise_w,
+        cache_dir=cache_dir,
+        max_text_length=args.max_text_length,
+        deterministic=args.deterministic,
+        no_download=args.no_download,
+        play_program=args.play_program,
+        num_workers=args.num_workers,
+        max_batch=args.max_batch,
+        batch_delay_ms=args.batch_delay_ms,
+        warmup=args.warmup,
+    )
+
+
+def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO
+    )
+
+    from .app import TtsApp, build_server
+
+    config = config_from_args(args)
+    app = TtsApp(config)
+    app.preload()
+    server = build_server(app)
+
+    try:
+        asyncio.run(server.serve(config.host, config.port))
+    except KeyboardInterrupt:
+        pass
+    finally:
+        app.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,448 @@
+"""HTTP route handlers (endpoint-compatible with the reference server).
+
+Endpoints (reference: mimic3_http/app.py:157-332):
+- ``GET/POST /api/tts``   text/SSML -> WAV (voice, noiseScale, noiseW,
+  lengthScale, ssml, textLanguage, cacheId, noCache, audioTarget)
+- ``GET /api/voices``     voice catalog with language names + sample text
+- ``GET /api/healthcheck``
+- ``GET|POST /process``   MaryTTS-compatible synthesis
+- ``GET /voices``         MaryTTS-compatible voice list
+- ``GET /``               web UI;  ``GET /openapi`` + ``/openapi.json``
+
+Synthesis runs in a thread pool of engines (phonemization is host CPU);
+the TPU itself is fed by the BatchScheduler attached to every session,
+so concurrent requests share device batches.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import hashlib
+import json
+import logging
+import shlex
+import subprocess
+import typing
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from ..engine import Mimic3Settings, Mimic3TextToSpeechSystem
+from ..voices_registry import DEFAULT_VOICE
+from .httpd import HttpResponse, HttpServer, Request
+from .lang import language_names, sample_sentence
+from .scheduler import BatchScheduler
+
+_LOGGER = logging.getLogger(__name__)
+
+_TEMPLATE_DIR = Path(__file__).parent / "templates"
+
+
+@dataclasses.dataclass
+class TtsParams:
+    """Synthesis request parameters; the cache key is their md5
+    (reference: mimic3_http/const.py:35-40)."""
+
+    text: str
+    voice: str
+    noise_scale: typing.Optional[float] = None
+    noise_w: typing.Optional[float] = None
+    length_scale: typing.Optional[float] = None
+    ssml: bool = False
+    text_language: typing.Optional[str] = None
+    cache_id: typing.Optional[str] = None
+
+    @property
+    def cache_key(self) -> str:
+        if self.cache_id:
+            return self.cache_id
+        blob = repr(dataclasses.astuple(self)).encode("utf-8")
+        return hashlib.md5(blob).hexdigest()
+
+
+def _to_bool(s: str) -> bool:
+    return (s or "").strip().lower() in {"true", "1", "yes", "on"}
+
+
+class TtsApp:
+    """Server state: engine pool, scheduler, WAV cache."""
+
+    def __init__(self, config) -> None:
+        self.config = config
+        self.scheduler = BatchScheduler(
+            max_batch=config.max_batch,
+            max_delay_ms=config.batch_delay_ms,
+        )
+        self._executor = ThreadPoolExecutor(
+            max_workers=config.num_workers,
+            thread_name_prefix="tts-worker",
+        )
+        self._engines: typing.List[Mimic3TextToSpeechSystem] = []
+        self._engine_local = __import__("threading").local()
+        self.cache_dir: typing.Optional[Path] = (
+            Path(config.cache_dir) if config.cache_dir else None
+        )
+        if self.cache_dir:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+        # catalog engine (get_voices only; no device usage)
+        self._catalog = self._new_engine()
+
+    def _new_engine(self) -> Mimic3TextToSpeechSystem:
+        engine = Mimic3TextToSpeechSystem(
+            Mimic3Settings(
+                voices_directories=self.config.voices_dir,
+                no_download=self.config.no_download,
+                use_deterministic_compute=self.config.deterministic,
+            )
+        )
+        self._engines.append(engine)
+        return engine
+
+    def _thread_engine(self) -> Mimic3TextToSpeechSystem:
+        engine = getattr(self._engine_local, "engine", None)
+        if engine is None:
+            engine = self._new_engine()
+            self._engine_local.engine = engine
+        return engine
+
+    def preload(self) -> None:
+        for key in self.config.preload_voice or []:
+            _LOGGER.info("Preloading voice %s", key)
+            voice = self._catalog._get_or_load_voice(key)
+            voice.session.batcher = self.scheduler
+            if self.config.warmup:
+                voice.session.warmup(
+                    batch_sizes=sorted(
+                        {1, self.config.max_batch}
+                    )
+                )
+
+    # -- synthesis ----------------------------------------------------------------
+
+    def _synthesize_blocking(self, params: TtsParams) -> bytes:
+        engine = self._thread_engine()
+        engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
+        if params.length_scale is not None:
+            engine.settings.length_scale = params.length_scale
+        else:
+            engine.settings.length_scale = self.config.length_scale
+        if params.noise_scale is not None:
+            engine.settings.noise_scale = params.noise_scale
+        else:
+            engine.settings.noise_scale = self.config.noise_scale
+        if params.noise_w is not None:
+            engine.settings.noise_w = params.noise_w
+        else:
+            engine.settings.noise_w = self.config.noise_w
+        if self.config.deterministic:
+            engine.settings.noise_scale = 0.0
+            engine.settings.noise_w = 0.0
+
+        # make sure this voice's session is wired to the scheduler
+        voice = engine._get_or_load_voice(engine.voice)
+        if voice.session.batcher is None:
+            voice.session.batcher = self.scheduler
+
+        import io
+        import wave
+
+        from ..api import AudioResult
+
+        if params.ssml:
+            from ..ssml import SSMLSpeaker
+
+            results = SSMLSpeaker(engine).speak(params.text)
+        else:
+            engine.begin_utterance()
+            engine.speak_text(
+                params.text, text_language=params.text_language
+            )
+            results = engine.end_utterance()
+
+        with io.BytesIO() as wav_io:
+            wav_file = wave.open(wav_io, "wb")
+            params_set = False
+            with wav_file:
+                for result in results:
+                    if isinstance(result, AudioResult):
+                        if not params_set:
+                            wav_file.setframerate(result.sample_rate_hz)
+                            wav_file.setsampwidth(
+                                result.sample_width_bytes
+                            )
+                            wav_file.setnchannels(result.num_channels)
+                            params_set = True
+                        wav_file.writeframes(result.audio_bytes)
+                if not params_set:
+                    wav_file.setframerate(22050)
+                    wav_file.setsampwidth(2)
+                    wav_file.setnchannels(1)
+            return wav_io.getvalue()
+
+    async def text_to_wav(
+        self, params: TtsParams, no_cache: bool = False
+    ) -> bytes:
+        if self.cache_dir and not no_cache:
+            cached = self.cache_dir / f"{params.cache_key}.wav"
+            if cached.is_file():
+                _LOGGER.debug("Cache hit: %s", cached)
+                return cached.read_bytes()
+
+        loop = asyncio.get_running_loop()
+        wav_bytes = await loop.run_in_executor(
+            self._executor, self._synthesize_blocking, params
+        )
+
+        if self.cache_dir and not no_cache:
+            cached = self.cache_dir / f"{params.cache_key}.wav"
+            cached.write_bytes(wav_bytes)
+        return wav_bytes
+
+    def shutdown(self) -> None:
+        self._executor.shutdown(wait=False)
+        self.scheduler.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Routes
+# ---------------------------------------------------------------------------
+
+
+def build_server(app: TtsApp) -> HttpServer:
+    server = HttpServer()
+    config = app.config
+
+    @server.route("/api/tts", methods=("GET", "POST"))
+    async def api_tts(request: Request):
+        if request.method == "POST":
+            text = request.body.decode("utf-8")
+        else:
+            text = request.arg("text", "")
+        if not text:
+            return HttpResponse(body=b"No text provided", status=400)
+        if config.max_text_length:
+            text = text[: config.max_text_length]
+
+        ssml = _to_bool(request.arg("ssml", ""))
+        if not ssml and request.content_type.startswith(
+            "application/ssml+xml"
+        ):
+            ssml = True
+
+        def float_arg(name):
+            value = request.arg(name)
+            return float(value) if value else None
+
+        params = TtsParams(
+            text=text,
+            voice=request.arg("voice")
+            or config.voice
+            or DEFAULT_VOICE,
+            noise_scale=float_arg("noiseScale"),
+            noise_w=float_arg("noiseW"),
+            length_scale=float_arg("lengthScale"),
+            ssml=ssml,
+            text_language=request.arg("textLanguage"),
+            cache_id=request.arg("cacheId"),
+        )
+        wav_bytes = await app.text_to_wav(
+            params, no_cache=_to_bool(request.arg("noCache", ""))
+        )
+
+        target = (request.arg("audioTarget", "client") or "").lower()
+        if target == "server":
+            play_cmd = shlex.split(config.play_program)
+            subprocess.run(play_cmd, input=wav_bytes, check=True)
+            return "OK"
+        return HttpResponse(body=wav_bytes, content_type="audio/wav")
+
+    @server.route("/api/voices")
+    async def api_voices(request: Request):
+        voices_by_key = {v.key: v for v in app._catalog.get_voices()}
+        voice_dicts = []
+        for key in sorted(voices_by_key):
+            voice = voices_by_key[key]
+            d = dataclasses.asdict(voice)
+            if d.get("aliases") is not None:
+                d["aliases"] = sorted(d["aliases"])
+            native, english = language_names(voice.language)
+            d["language_native"] = native
+            d["language_english"] = english
+            d["sample_text"] = sample_sentence(voice.language)
+            voice_dicts.append(d)
+        return HttpResponse(
+            body=json.dumps(voice_dicts).encode(),
+            content_type="application/json",
+        )
+
+    @server.route("/api/healthcheck")
+    async def api_healthcheck(request: Request):
+        return "OK"
+
+    @server.route("/api/stats")
+    async def api_stats(request: Request):
+        """Serving metrics (mimic3-tpu extension): batch sizes, RTF."""
+        sessions = {}
+        for engine in app._engines:
+            for key, voice in engine._loaded_voices.items():
+                stats = voice.session.stats
+                sessions[key] = {
+                    "utterances": stats.utterances,
+                    "mean_rtf": stats.mean_rtf,
+                    "last_rtf": stats.last_rtf,
+                    "audio_sec": stats.audio_sec,
+                }
+        payload = {
+            "scheduler": {
+                "batches": app.scheduler.stats.batches,
+                "items": app.scheduler.stats.items,
+                "mean_batch_size": app.scheduler.stats.mean_batch_size,
+            },
+            "voices": sessions,
+        }
+        return HttpResponse(
+            body=json.dumps(payload).encode(),
+            content_type="application/json",
+        )
+
+    @server.route("/process", methods=("GET", "POST"))
+    async def marytts_process(request: Request):
+        from urllib.parse import parse_qs
+
+        voice = config.voice
+        if request.method == "POST":
+            data = parse_qs(request.body.decode("utf-8"))
+            text = data.get("INPUT_TEXT", [""])[0]
+            if "VOICE" in data:
+                voice = str(data.get("VOICE", [voice])[0]).strip()
+        else:
+            text = request.arg("INPUT_TEXT", "")
+            voice = str(request.arg("VOICE", voice) or "").strip()
+        if config.max_text_length:
+            text = text[: config.max_text_length]
+        voice = voice or config.voice or DEFAULT_VOICE
+        ssml = text.strip().startswith("<")
+        wav_bytes = await app.text_to_wav(
+            TtsParams(text=text, voice=voice, ssml=ssml)
+        )
+        return HttpResponse(body=wav_bytes, content_type="audio/wav")
+
+    @server.route("/voices")
+    async def marytts_voices(request: Request):
+        lines = []
+        for voice in sorted(
+            app._catalog.get_voices(), key=lambda v: v.key
+        ):
+            if not Path(voice.location).is_dir():
+                continue  # only installed voices
+            if voice.is_multispeaker and voice.speakers:
+                for speaker in voice.speakers:
+                    lines.append(
+                        f"{voice.key}#{speaker} {voice.language} NA vits"
+                    )
+            else:
+                lines.append(f"{voice.key} {voice.language} NA vits")
+        return "\n".join(lines)
+
+    @server.route("/")
+    async def index(request: Request):
+        html = (_TEMPLATE_DIR / "index.html").read_text("utf-8")
+        html = html.replace(
+            "__DEFAULT_VOICE__", config.voice or DEFAULT_VOICE
+        )
+        return HttpResponse(
+            body=html.encode(), content_type="text/html; charset=utf-8"
+        )
+
+    @server.route("/openapi.json")
+    async def openapi_json(request: Request):
+        return HttpResponse(
+            body=json.dumps(_openapi_spec()).encode(),
+            content_type="application/json",
+        )
+
+    @server.route("/openapi")
+    @server.route("/openapi/")
+    async def openapi_page(request: Request):
+        html = (_TEMPLATE_DIR / "openapi.html").read_text("utf-8")
+        return HttpResponse(
+            body=html.encode(), content_type="text/html; charset=utf-8"
+        )
+
+    return server
+
+
+def _openapi_spec() -> dict:
+    return {
+        "openapi": "3.0.0",
+        "info": {
+            "title": "mimic3-tpu",
+            "description": "TPU-native text-to-speech HTTP API "
+            "(Mimic 3 compatible)",
+            "version": "0.1.0",
+        },
+        "paths": {
+            "/api/tts": {
+                "get": {
+                    "summary": "Synthesize text to WAV",
+                    "parameters": [
+                        {"name": "text", "in": "query", "required": True,
+                         "schema": {"type": "string"}},
+                        {"name": "voice", "in": "query",
+                         "schema": {"type": "string"}},
+                        {"name": "noiseScale", "in": "query",
+                         "schema": {"type": "number"}},
+                        {"name": "noiseW", "in": "query",
+                         "schema": {"type": "number"}},
+                        {"name": "lengthScale", "in": "query",
+                         "schema": {"type": "number"}},
+                        {"name": "ssml", "in": "query",
+                         "schema": {"type": "boolean"}},
+                        {"name": "textLanguage", "in": "query",
+                         "schema": {"type": "string"}},
+                        {"name": "cacheId", "in": "query",
+                         "schema": {"type": "string"}},
+                        {"name": "noCache", "in": "query",
+                         "schema": {"type": "boolean"}},
+                        {"name": "audioTarget", "in": "query",
+                         "schema": {"type": "string",
+                                    "enum": ["client", "server"]}},
+                    ],
+                    "responses": {"200": {"description": "WAV audio"}},
+                },
+                "post": {
+                    "summary": "Synthesize body text/SSML to WAV",
+                    "responses": {"200": {"description": "WAV audio"}},
+                },
+            },
+            "/api/voices": {
+                "get": {
+                    "summary": "List available voices",
+                    "responses": {"200": {"description": "JSON list"}},
+                }
+            },
+            "/api/healthcheck": {
+                "get": {
+                    "summary": "Liveness check",
+                    "responses": {"200": {"description": "OK"}},
+                }
+            },
+            "/api/stats": {
+                "get": {
+                    "summary": "Serving metrics (batching, RTF)",
+                    "responses": {"200": {"description": "JSON"}},
+                }
+            },
+            "/process": {
+                "get": {"summary": "MaryTTS-compatible synthesis",
+                        "responses": {"200": {"description": "WAV"}}},
+                "post": {"summary": "MaryTTS-compatible synthesis",
+                         "responses": {"200": {"description": "WAV"}}},
+            },
+            "/voices": {
+                "get": {"summary": "MaryTTS-compatible voice list",
+                        "responses": {"200": {"description": "text"}}}
+            },
+        },
+    }

@@ -1,0 +1,228 @@
+"""HTTP server tests: spawn the real server, hit it with urllib."""
+
+import io
+import json
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+import wave
+from pathlib import Path
+
+import pytest
+
+from mimic3_tpu.runtime.testvoice import create_test_voice
+
+REPO = Path(__file__).parent.parent
+PORT = 59333
+BASE = f"http://127.0.0.1:{PORT}"
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("srv_voices")
+    create_test_voice(root / "en_US" / "test_low", full_size=False)
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "mimic3_tpu.server",
+            "--port",
+            str(PORT),
+            "--host",
+            "127.0.0.1",
+            "--voices-dir",
+            str(root),
+            "--voice",
+            "en_US/test_low",
+            "--no-download",
+            "--deterministic",
+            "--preload-voice",
+            "en_US/test_low",
+            "--cache-dir",
+            str(tmp_path_factory.mktemp("wav_cache")),
+        ],
+        cwd=REPO,
+        env={
+            "PATH": "/usr/bin:/bin",
+            "JAX_PLATFORMS": "cpu",
+            "HOME": "/tmp",
+        },
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    # wait for readiness
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                f"{BASE}/api/healthcheck", timeout=2
+            ) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    proc.stderr.read().decode()[-3000:]
+                )
+            time.sleep(0.5)
+    else:
+        proc.kill()
+        raise RuntimeError("server did not become ready")
+    yield proc
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def get(path, timeout=120):
+    with urllib.request.urlopen(f"{BASE}{path}", timeout=timeout) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def post(path, data, content_type="text/plain", timeout=120):
+    req = urllib.request.Request(
+        f"{BASE}{path}",
+        data=data.encode(),
+        headers={"Content-Type": content_type},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_healthcheck(server):
+    status, body, _ = get("/api/healthcheck")
+    assert status == 200
+    assert body == b"OK"
+
+
+def test_tts_post(server):
+    status, body, headers = post(
+        "/api/tts?voice=en_US/test_low", "hello world"
+    )
+    assert status == 200
+    assert headers["Content-Type"] == "audio/wav"
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnframes() > 0
+
+
+def test_tts_get(server):
+    query = urllib.parse.urlencode(
+        {"text": "hi there", "voice": "en_US/test_low",
+         "lengthScale": "0.8"}
+    )
+    status, body, _ = get(f"/api/tts?{query}")
+    assert status == 200
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getnframes() > 0
+
+
+def test_tts_ssml(server):
+    ssml = '<speak><s>one</s><break time="100ms"/><s>two</s></speak>'
+    status, body, _ = post(
+        "/api/tts?voice=en_US/test_low",
+        ssml,
+        content_type="application/ssml+xml",
+    )
+    assert status == 200
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getnframes() > 0
+
+
+def test_tts_missing_text(server):
+    try:
+        get("/api/tts")
+        status = 200
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_tts_cache(server):
+    query = urllib.parse.urlencode(
+        {"text": "cache me", "voice": "en_US/test_low",
+         "cacheId": "fixed-key"}
+    )
+    _, body1, _ = get(f"/api/tts?{query}")
+    _, body2, _ = get(f"/api/tts?{query}")
+    assert body1 == body2
+
+
+def test_api_voices(server):
+    status, body, headers = get("/api/voices")
+    assert status == 200
+    voices = json.loads(body)
+    keys = {v["key"] for v in voices}
+    assert "en_US/test_low" in keys
+    local = next(v for v in voices if v["key"] == "en_US/test_low")
+    assert local["language_english"] == "English (US)"
+    assert "sample_text" in local
+
+
+def test_marytts_process(server):
+    status, body, _ = get(
+        "/process?INPUT_TEXT=hello&VOICE=en_US/test_low"
+    )
+    assert status == 200
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getnframes() > 0
+
+
+def test_marytts_voices(server):
+    status, body, _ = get("/voices")
+    assert status == 200
+    assert b"en_US/test_low" in body
+    assert b"vits" in body
+
+
+def test_index_and_openapi(server):
+    status, body, _ = get("/")
+    assert status == 200 and b"mimic3-tpu" in body
+    status, body, _ = get("/openapi.json")
+    assert status == 200
+    spec = json.loads(body)
+    assert "/api/tts" in spec["paths"]
+    status, body, _ = get("/openapi")
+    assert status == 200
+
+
+def test_stats(server):
+    status, body, _ = get("/api/stats")
+    assert status == 200
+    stats = json.loads(body)
+    assert stats["scheduler"]["batches"] >= 1
+
+
+def test_404(server):
+    try:
+        get("/nope")
+        status = 200
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
+
+
+def test_concurrent_requests_batch(server):
+    """Concurrent requests must all succeed (and share device batches)."""
+    import concurrent.futures
+
+    def one(i):
+        q = urllib.parse.urlencode(
+            {"text": f"request number {i}", "voice": "en_US/test_low",
+             "noCache": "true"}
+        )
+        status, body, _ = get(f"/api/tts?{q}")
+        assert status == 200
+        with wave.open(io.BytesIO(body)) as w:
+            return w.getnframes()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        frames = list(pool.map(one, range(6)))
+    assert all(f > 0 for f in frames)
+
+    _, body, _ = get("/api/stats")
+    stats = json.loads(body)
+    assert stats["scheduler"]["items"] >= 6

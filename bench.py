@@ -72,8 +72,8 @@ def main() -> int:
             jnp.float32(1.0), jnp.float32(0.8),
         )
         audio, sample_lengths = dec_fn(
-            params, ids, lengths, durations, step_rng,
-            jnp.float32(0.667), num_frames=args.frames,
+            params, ids, lengths, durations, args.frames, step_rng,
+            jnp.float32(0.667),
         )
         return audio, sample_lengths
 
@@ -128,8 +128,8 @@ def main() -> int:
                 jnp.float32(1.0), jnp.float32(0.8),
             )
             return dec_fn(
-                params, ids1, len1, durations, step_rng,
-                jnp.float32(0.667), num_frames=args.frames,
+                params, ids1, len1, durations, args.frames, step_rng,
+                jnp.float32(0.667),
             )
 
         a, sl = synth1(rng)

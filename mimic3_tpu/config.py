@@ -351,6 +351,10 @@ class TpuConfig:
     """dtype for the HiFi-GAN decoder stack (bf16 halves HBM traffic; audio
     is ultimately quantized to int16 so bf16 is inaudible)."""
 
+    use_pallas: bool = False
+    """Route HiFi-GAN resblocks through the fused Pallas kernel (TPU only;
+    benchmark-gated default until profiled faster than plain XLA)."""
+
     text_buckets: typing.Tuple[int, ...] = (32, 64, 128, 256, 512)
     """Static phoneme-length buckets; inputs are padded up to the nearest."""
 

@@ -461,10 +461,12 @@ class VitsModel:
         config: ModelConfig,
         compute_dtype: jnp.dtype = jnp.float32,
         decoder_dtype: jnp.dtype = jnp.bfloat16,
+        use_pallas: bool = False,
     ):
         self.hp = VitsHyperparams.from_config(config)
         self.compute_dtype = compute_dtype
         self.decoder_dtype = decoder_dtype
+        self.use_pallas = use_pallas
 
     # -- submodule wrappers --------------------------------------------------
 
@@ -586,6 +588,7 @@ class VitsModel:
             upsample_rates=self.hp.upsample_rates,
             upsample_kernel_sizes=self.hp.upsample_kernel_sizes,
             compute_dtype=self.decoder_dtype,
+            use_pallas=self.use_pallas,
         )
         return audio, y_lengths * self.hp.hop_length
 

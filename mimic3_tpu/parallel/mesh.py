@@ -57,13 +57,13 @@ def make_mesh(
 
 
 def _match(path: str, pattern: str) -> bool:
+    """Suffix match: the pattern matches the trailing path segments."""
     p_parts = pattern.split("/")
     parts = path.split("/")
-    if len(p_parts) != len(parts):
+    if len(parts) < len(p_parts):
         return False
-    return all(
-        pp == "*" or pp == part for pp, part in zip(p_parts, parts)
-    )
+    tail = parts[-len(p_parts):]
+    return all(pp == "*" or pp == part for pp, part in zip(p_parts, tail))
 
 
 def param_sharding(

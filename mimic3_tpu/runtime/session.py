@@ -103,6 +103,7 @@ class VitsSession:
             config.model,
             compute_dtype=compute_dtype,
             decoder_dtype=decoder_dtype,
+            use_pallas=config.tpu.use_pallas,
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, dict(params))
         self.text_buckets = tuple(config.tpu.text_buckets)

@@ -24,8 +24,17 @@ def audio_float_to_int16(
     same per-sentence convention as the reference
     (mimic3_tts/utils.py:237-244) — chunked streaming must therefore buffer
     per sentence to stay byte-compatible.
+
+    Uses the native C++ single-pass kernel when available
+    (native/mimic3_native.cpp), numpy otherwise.
     """
     audio = np.asarray(audio, dtype=np.float32)
+    if audio.size:
+        from .runtime import native
+
+        fast = native.peak_normalize_i16(audio, max_wav_value)
+        if fast is not None:
+            return fast
     peak = max(0.01, float(np.max(np.abs(audio)))) if audio.size else 0.01
     audio_norm = audio * (max_wav_value / peak)
     audio_norm = np.clip(audio_norm, -max_wav_value, max_wav_value)
@@ -39,6 +48,11 @@ def scale_int16_volume(audio_bytes: bytes, volume_0_100: float) -> bytes:
     ``audioop`` was removed from the stdlib in Python 3.13.
     """
     factor = max(0.0, volume_0_100) / 100.0
+    from .runtime import native
+
+    fast = native.scale_i16(audio_bytes, factor)
+    if fast is not None:
+        return fast
     samples = np.frombuffer(audio_bytes, dtype=np.int16).astype(np.float64)
     # audioop.mul truncates toward zero after scaling and wraps on overflow;
     # we clip instead (safer, inaudible difference at volume <= 100).

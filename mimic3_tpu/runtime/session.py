@@ -37,6 +37,48 @@ def _jax():
     return jax
 
 
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache() -> None:
+    """Persist compiled XLA executables across processes.
+
+    The analog of the reference's shared ONNX sessions + voice artifact
+    cache (reference: mimic3_tts/voice.py:277-292, download.py:108-117):
+    a server restart re-loads executables from disk instead of
+    recompiling every bucket.  Directory override: $MIMIC3_COMPILE_CACHE.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    import os
+    from pathlib import Path
+
+    jax = _jax()
+    cache_dir = os.environ.get(
+        "MIMIC3_COMPILE_CACHE",
+        str(
+            Path(
+                os.environ.get(
+                    "XDG_CACHE_HOME", str(Path.home() / ".cache")
+                )
+            )
+            / "mimic3_tpu"
+            / "xla"
+        ),
+    )
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+        _LOGGER.debug("XLA compilation cache: %s", cache_dir)
+    except Exception as err:  # cache is best-effort
+        _LOGGER.debug("compilation cache unavailable: %s", err)
+
+
 @dataclass
 class SessionStats:
     """Rolling synthesis statistics (RTF = infer_sec / audio_sec)."""
@@ -92,6 +134,7 @@ class VitsSession:
 
         from ..models.vits import VitsModel
 
+        enable_compilation_cache()
         self.config = config
         self.deterministic = deterministic
         compute_dtype = jnp.dtype(config.tpu.compute_dtype)

@@ -260,6 +260,18 @@ class TpuVoice(ABC):
             raise ValueError(
                 f"Unsupported phonemizer: {config.phonemizer}"
             )
+        if cls is EspeakTpuVoice and config.text_language == "fa":
+            # hazm is strongly recommended for Persian (reference:
+            # mimic3_tts/voice.py:337-346); fall back silently without it
+            try:
+                import hazm  # noqa: F401
+
+                cls = HazmEspeakTpuVoice
+            except ImportError:
+                _LOGGER.warning(
+                    "hazm is recommended for language 'fa' "
+                    "(pip install 'hazm>=0.7.0')"
+                )
         return cls(
             config=config,
             session=session,
@@ -361,6 +373,76 @@ class EspeakTpuVoice(TpuVoice):
             all_word_phonemes,
             self.config.phonemes.minor_break,
             self.config.phonemes.major_break,
+        )
+
+
+class HazmEspeakTpuVoice(EspeakTpuVoice):
+    """Persian espeak voice with hazm text normalization/POS tagging
+    (reference: mimic3_tts/voice.py:601-701).  Requires the optional
+    ``hazm`` package; Ezafe markers are restored from POS tags before
+    phonemization."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        import gruut_lang_fa  # gated optional deps
+        import hazm
+
+        self._normalizer = hazm.Normalizer()
+        self._sent_tokenizer = hazm.SentenceTokenizer()
+        self._word_tokenizer = hazm.WordTokenizer()
+        self._tagger = hazm.POSTagger(
+            model=str(
+                gruut_lang_fa.get_lang_dir() / "pos" / "postagger.model"
+            )
+        )
+
+    def _fix_words(self, words):
+        fixed = []
+        for word, pos in self._tagger.tag(words):
+            if pos and pos[-1] == "e":  # Ezafe construction
+                if word[-1] != "ِ":
+                    if (word[-1] == "ه") and (word[-2] != "ا"):
+                        word += "‌ی"
+                    word += "ِ"
+            fixed.append(word)
+        return fixed
+
+    def _preprocess(self, text: str):
+        text = self._normalizer.normalize(text)
+        return [
+            self._fix_words(self._word_tokenizer.tokenize(sentence))
+            for sentence in self._sent_tokenizer.tokenize(text)
+        ]
+
+    def text_to_phonemes(
+        self, text: str, text_language: typing.Optional[str] = None
+    ) -> TEXT_TO_PHONEMES_RESULT:
+        from ..text.espeak import language_to_espeak_voice
+
+        language = (
+            text_language or self.config.text_language or DEFAULT_LANGUAGE
+        )
+        word_separator = self.config.phonemes.word_separator
+        for words in self._preprocess(text):
+            phoneme_str = self._phonemizer.phonemize(
+                " ".join(words),
+                voice=language_to_espeak_voice(language),
+                keep_clause_breakers=True,
+                phoneme_separator="",
+                word_separator=word_separator,
+                punctuation_separator="",
+            )
+            sent_word_phonemes = [
+                list(IPA.graphemes(wp))
+                for wp in phoneme_str.split(word_separator)
+            ]
+            yield sent_word_phonemes, BreakType.UTTERANCE
+
+    def word_to_phonemes(self, word_text, word_role=None,
+                         text_language=None):
+        word_text = self._fix_words([word_text])[0]
+        return super().word_to_phonemes(
+            word_text, word_role=word_role, text_language=text_language
         )
 
 

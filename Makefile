@@ -15,6 +15,9 @@ test-fast:
 		--ignore=tests/test_server.py \
 		--ignore=tests/test_dataset_train_cli.py
 
+check:
+	JAX_PLATFORMS=cpu $(PYTHON) scripts/check.py
+
 native:
 	g++ -O3 -shared -fPIC -march=native \
 		native/mimic3_native.cpp -o native/libmimic3_native.so

@@ -120,7 +120,8 @@ class TtsApp:
 
     # -- synthesis ----------------------------------------------------------------
 
-    def _synthesize_blocking(self, params: TtsParams) -> bytes:
+    def _results_blocking(self, params: TtsParams):
+        """Configure a thread engine and yield BaseResults for params."""
         engine = self._thread_engine()
         engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
         if params.length_scale is not None:
@@ -144,22 +145,23 @@ class TtsApp:
         if voice.session.batcher is None:
             voice.session.batcher = self.scheduler
 
+        if params.ssml:
+            from ..ssml import SSMLSpeaker
+
+            return SSMLSpeaker(engine).speak(params.text)
+        engine.begin_utterance()
+        engine.speak_text(
+            params.text, text_language=params.text_language
+        )
+        return engine.end_utterance()
+
+    def _synthesize_blocking(self, params: TtsParams) -> bytes:
         import io
         import wave
 
         from ..api import AudioResult
 
-        if params.ssml:
-            from ..ssml import SSMLSpeaker
-
-            results = SSMLSpeaker(engine).speak(params.text)
-        else:
-            engine.begin_utterance()
-            engine.speak_text(
-                params.text, text_language=params.text_language
-            )
-            results = engine.end_utterance()
-
+        results = self._results_blocking(params)
         with io.BytesIO() as wav_io:
             wav_file = wave.open(wav_io, "wb")
             params_set = False
@@ -198,6 +200,81 @@ class TtsApp:
             cached = self.cache_dir / f"{params.cache_key}.wav"
             cached.write_bytes(wav_bytes)
         return wav_bytes
+
+    async def stream_wav(
+        self, params: TtsParams
+    ) -> typing.AsyncIterator[bytes]:
+        """Chunked WAV: the header goes out with the FIRST synthesized
+        sentence; later sentences stream as raw PCM.  First-chunk latency
+        is one sentence's synthesis, not the whole document's."""
+        import struct
+
+        from ..api import AudioResult
+
+        loop = asyncio.get_running_loop()
+        queue: "asyncio.Queue[typing.Optional[bytes]]" = asyncio.Queue()
+
+        def produce() -> None:
+            first = True
+            try:
+                for result in self._results_blocking(params):
+                    if not isinstance(result, AudioResult):
+                        continue
+                    if first:
+                        header = _streaming_wav_header(
+                            result.sample_rate_hz,
+                            result.num_channels,
+                            result.sample_width_bytes,
+                        )
+                        loop.call_soon_threadsafe(
+                            queue.put_nowait, header
+                        )
+                        first = False
+                    loop.call_soon_threadsafe(
+                        queue.put_nowait, result.audio_bytes
+                    )
+                if first:  # no audio at all: still emit a valid header
+                    loop.call_soon_threadsafe(
+                        queue.put_nowait,
+                        _streaming_wav_header(22050, 1, 2),
+                    )
+            except Exception:
+                _LOGGER.exception("Streaming synthesis failed")
+            finally:
+                loop.call_soon_threadsafe(queue.put_nowait, None)
+
+        def _streaming_wav_header(
+            rate: int, channels: int, width: int
+        ) -> bytes:
+            # unknown-length WAV: RIFF/data sizes set to the max value,
+            # the streaming convention players accept
+            byte_rate = rate * channels * width
+            return b"".join(
+                [
+                    b"RIFF",
+                    struct.pack("<I", 0xFFFFFFFF),
+                    b"WAVEfmt ",
+                    struct.pack(
+                        "<IHHIIHH",
+                        16,
+                        1,
+                        channels,
+                        rate,
+                        byte_rate,
+                        channels * width,
+                        width * 8,
+                    ),
+                    b"data",
+                    struct.pack("<I", 0xFFFFFFFF - 44),
+                ]
+            )
+
+        self._executor.submit(produce)
+        while True:
+            chunk = await queue.get()
+            if chunk is None:
+                return
+            yield chunk
 
     def shutdown(self) -> None:
         self._executor.shutdown(wait=False)
@@ -246,6 +323,14 @@ def build_server(app: TtsApp) -> HttpServer:
             text_language=request.arg("textLanguage"),
             cache_id=request.arg("cacheId"),
         )
+
+        if _to_bool(request.arg("streaming", "")):
+            # chunked WAV, first sentence out as soon as it's ready
+            return HttpResponse(
+                stream=app.stream_wav(params),
+                content_type="audio/wav",
+            )
+
         wav_bytes = await app.text_to_wav(
             params, no_cache=_to_bool(request.arg("noCache", ""))
         )
@@ -408,6 +493,10 @@ def _openapi_spec() -> dict:
                         {"name": "audioTarget", "in": "query",
                          "schema": {"type": "string",
                                     "enum": ["client", "server"]}},
+                        {"name": "streaming", "in": "query",
+                         "schema": {"type": "boolean"},
+                         "description": "Chunked WAV: sentences stream "
+                         "as they are synthesized"},
                     ],
                     "responses": {"200": {"description": "WAV audio"}},
                 },

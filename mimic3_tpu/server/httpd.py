@@ -43,6 +43,9 @@ class HttpResponse:
     status: int = 200
     content_type: str = "text/plain; charset=utf-8"
     headers: typing.Dict[str, str] = field(default_factory=dict)
+    stream: typing.Optional[typing.AsyncIterator[bytes]] = None
+    """When set, the response is sent with chunked transfer encoding and
+    ``body`` is ignored; the iterator's chunks go out as they arrive."""
 
 
 _STATUS_TEXT = {
@@ -206,15 +209,30 @@ class HttpServer:
         status_text = _STATUS_TEXT.get(response.status, "Unknown")
         headers = {
             "Content-Type": response.content_type,
-            "Content-Length": str(len(response.body)),
             "Connection": "keep-alive" if keep_alive else "close",
             "Access-Control-Allow-Origin": "*",
             **response.headers,
         }
+        if response.stream is not None:
+            headers["Transfer-Encoding"] = "chunked"
+        else:
+            headers["Content-Length"] = str(len(response.body))
         head = [f"HTTP/1.1 {response.status} {status_text}"]
         head.extend(f"{k}: {v}" for k, v in headers.items())
         writer.write(("\r\n".join(head) + "\r\n\r\n").encode("latin-1"))
-        if method != "HEAD":
+        if method == "HEAD":
+            await writer.drain()
+            return
+        if response.stream is not None:
+            async for chunk in response.stream:
+                if not chunk:
+                    continue
+                writer.write(f"{len(chunk):x}\r\n".encode())
+                writer.write(chunk)
+                writer.write(b"\r\n")
+                await writer.drain()
+            writer.write(b"0\r\n\r\n")
+        else:
             writer.write(response.body)
         await writer.drain()
 

@@ -196,6 +196,26 @@ def test_stats(server):
     assert stats["scheduler"]["batches"] >= 1
 
 
+def test_tts_streaming(server):
+    """streaming=true returns chunked WAV with an unknown-length header."""
+    query = urllib.parse.urlencode(
+        {"text": "first sentence. second sentence.",
+         "voice": "en_US/test_low", "streaming": "true"}
+    )
+    req = urllib.request.Request(f"{BASE}/api/tts?{query}")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers.get("Transfer-Encoding") == "chunked"
+        blob = r.read()
+    assert blob[:4] == b"RIFF"
+    # payload after the 44-byte header is real PCM
+    pcm = blob[44:]
+    assert len(pcm) > 1000
+    import numpy as np
+
+    arr = np.frombuffer(pcm[: len(pcm) // 2 * 2], np.int16)
+    assert np.abs(arr.astype(np.int32)).max() > 0
+
+
 def test_404(server):
     try:
         get("/nope")

@@ -122,12 +122,8 @@ def recursive_update(
 # ---------------------------------------------------------------------------
 
 
-class BlankBetween(str, Enum):
-    """Where blank tokens are inserted during phoneme-id encoding."""
-
-    TOKENS = "tokens"
-    WORDS = "words"
-    TOKENS_AND_WORDS = "tokens_and_words"
+# single source of truth lives with the encoder implementation
+from .text.phonemes2ids import BlankBetween  # noqa: E402
 
 
 class Phonemizer(str, Enum):

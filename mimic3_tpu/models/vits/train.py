@@ -92,7 +92,10 @@ def kl_loss(
     kl = logs_p - logs_q - 0.5
     kl += 0.5 * jnp.square(z_p - m_p) * jnp.exp(-2.0 * logs_p)
     kl = jnp.sum(kl * y_mask)
-    return kl / jnp.maximum(jnp.sum(y_mask) * z_p.shape[-1], 1.0)
+    # normalized by total FRAMES (not frames*channels) — the VITS
+    # objective's convention; dividing by channels too would weaken the
+    # KL term ~192x relative to c_kl's intended weight
+    return kl / jnp.maximum(jnp.sum(y_mask), 1.0)
 
 
 def feature_matching_loss(
@@ -314,13 +317,18 @@ jax.tree_util.register_dataclass(
 )
 
 
-def make_optimizers(config: TrainingConfig):
+def make_optimizers(
+    config: TrainingConfig, steps_per_epoch: int = 1000
+):
     import optax
 
     def schedule(step):
-        # exponential decay per epoch is applied by the caller; per-step we
-        # keep the configured LR (reference config: lr_decay per epoch)
-        return config.learning_rate
+        # lr_decay is a per-EPOCH exponential factor in voice configs;
+        # apply it continuously per step
+        epochs = step / steps_per_epoch
+        return config.learning_rate * jnp.power(
+            jnp.float32(config.lr_decay), epochs
+        )
 
     def make():
         tx = optax.adam(
@@ -339,6 +347,7 @@ def make_optimizers(config: TrainingConfig):
 def make_train_step(
     config: TrainingConfig,
     compute_dtype: jnp.dtype = jnp.float32,
+    steps_per_epoch: int = 1000,
 ) -> typing.Callable:
     """Build the jittable train step for a voice config."""
     import optax  # noqa: F401
@@ -348,7 +357,7 @@ def make_train_step(
         compute_dtype=compute_dtype,
         decoder_dtype=compute_dtype,
     )
-    opt_g, opt_d = make_optimizers(config)
+    opt_g, opt_d = make_optimizers(config, steps_per_epoch)
 
     def train_step(
         state: TrainState, batch: TrainBatch, rng: jax.Array
@@ -356,20 +365,23 @@ def make_train_step(
         rng_g = jax.random.fold_in(rng, 0)
 
         # ---- discriminator update ----
-        def disc_loss_fn(disc_params):
-            out = generator_forward(
-                model, config, state.params, batch, rng_g
-            )
-            real_logits, _ = discriminate(disc_params, out["y_real"])
-            fake_logits, _ = discriminate(
-                disc_params, jax.lax.stop_gradient(out["y_hat"])
-            )
-            loss_d = discriminator_adv_loss(real_logits, fake_logits)
-            return loss_d, out
+        # one un-differentiated generator forward; the D step only needs
+        # (y_real, stop_grad(y_hat)), so the generator graph is built
+        # once here and once (with grads) in the G step below
+        fwd = generator_forward(
+            model, config, state.params, batch, rng_g
+        )
+        y_real = jax.lax.stop_gradient(fwd["y_real"])
+        y_hat_sg = jax.lax.stop_gradient(fwd["y_hat"])
 
-        (loss_d, _), grads_d = jax.value_and_grad(
-            disc_loss_fn, has_aux=True
-        )(state.disc_params)
+        def disc_loss_fn(disc_params):
+            real_logits, _ = discriminate(disc_params, y_real)
+            fake_logits, _ = discriminate(disc_params, y_hat_sg)
+            return discriminator_adv_loss(real_logits, fake_logits)
+
+        loss_d, grads_d = jax.value_and_grad(disc_loss_fn)(
+            state.disc_params
+        )
         updates_d, new_opt_d = opt_d.update(
             grads_d, state.opt_d, state.disc_params
         )

@@ -122,9 +122,12 @@ def fused_resblock_subblock(
     halo2 = (kernel_size - 1) // 2
     halo = halo1 + halo2
 
+    # largest divisor of T that is <= tile and sublane-aligned
     tile = min(tile, t)
+    while tile > 8 and t % tile:
+        tile //= 2
     if t % tile:
-        raise ValueError(f"T={t} not divisible by tile={tile}")
+        raise ValueError(f"T={t} has no aligned tile size")
 
     x_padded = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
     dtype = x.dtype
@@ -190,19 +193,25 @@ def resblock1_fused(
     interpret: bool = False,
 ) -> jax.Array:
     """HiFi-GAN ResBlock1 via the fused Pallas kernel (inference path;
-    weight norm must already be folded)."""
-    for j, d in enumerate(dilations):
-        sj = str(j)
-        p1 = params["convs1"][sj]
-        p2 = params["convs2"][sj]
-        x = fused_resblock_subblock(
-            x,
-            p1["weight"],
-            p1.get("bias"),
-            p2["weight"],
-            p2.get("bias"),
-            kernel_size=kernel_size,
-            dilation=d,
-            interpret=interpret,
-        )
-    return x
+    weight norm must already be folded).  Falls back to the plain XLA
+    resblock when the time length has no aligned tile size."""
+    try:
+        for j, d in enumerate(dilations):
+            sj = str(j)
+            p1 = params["convs1"][sj]
+            p2 = params["convs2"][sj]
+            x = fused_resblock_subblock(
+                x,
+                p1["weight"],
+                p1.get("bias"),
+                p2["weight"],
+                p2.get("bias"),
+                kernel_size=kernel_size,
+                dilation=d,
+                interpret=interpret,
+            )
+        return x
+    except ValueError:
+        from ..models.vits.hifigan import resblock1
+
+        return resblock1(params, x, kernel_size, dilations)

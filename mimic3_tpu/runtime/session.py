@@ -261,6 +261,14 @@ class VitsSession:
                 max_frames_cap,
             )
             needed = max_frames_cap
+            # clamp the durations themselves so decode_frames reports
+            # sample lengths consistent with the truncated audio
+            dur_np = np.asarray(durations)
+            cum = np.minimum(np.cumsum(dur_np, axis=1), max_frames_cap)
+            dur_np = np.concatenate(
+                [cum[:, :1], np.diff(cum, axis=1)], axis=1
+            )
+            durations = jnp.asarray(dur_np)
         f_bucket = pick_bucket(needed, self.frame_buckets)
 
         audio, sample_lengths = self._dec_fn(

@@ -125,11 +125,7 @@ class TpuVoice(ABC):
             auto_bos_eos=pc.auto_bos_eos,
             blank=pc.blank,
             blank_word=pc.blank_word,
-            blank_between=(
-                pc.blank_between.value
-                if hasattr(pc.blank_between, "value")
-                else pc.blank_between
-            ),
+            blank_between=pc.blank_between,
             blank_at_start=pc.blank_at_start,
             blank_at_end=pc.blank_at_end,
             simple_punctuation=pc.simple_punctuation,

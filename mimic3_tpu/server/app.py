@@ -21,6 +21,7 @@ import dataclasses
 import hashlib
 import json
 import logging
+import re
 import shlex
 import subprocess
 import typing
@@ -55,7 +56,13 @@ class TtsParams:
     @property
     def cache_key(self) -> str:
         if self.cache_id:
-            return self.cache_id
+            # client-supplied id: restrict to a safe charset so it can
+            # never traverse out of the cache directory (the reference
+            # uses it verbatim — mimic3_http/const.py:35-40 — which is a
+            # path traversal)
+            safe = re.sub(r"[^A-Za-z0-9._-]", "_", self.cache_id)[:128]
+            if safe.strip("._"):
+                return safe
         blob = repr(dataclasses.astuple(self)).encode("utf-8")
         return hashlib.md5(blob).hexdigest()
 
@@ -208,40 +215,55 @@ class TtsApp:
         sentence; later sentences stream as raw PCM.  First-chunk latency
         is one sentence's synthesis, not the whole document's."""
         import struct
+        import threading
 
         from ..api import AudioResult
 
         loop = asyncio.get_running_loop()
-        queue: "asyncio.Queue[typing.Optional[bytes]]" = asyncio.Queue()
+        # bounded: the producer blocks when the client reads slowly
+        # instead of buffering a whole document's PCM in memory
+        queue: "asyncio.Queue[typing.Optional[bytes]]" = asyncio.Queue(
+            maxsize=16
+        )
+        cancelled = threading.Event()
+
+        def put(chunk: typing.Optional[bytes]) -> bool:
+            try:
+                asyncio.run_coroutine_threadsafe(
+                    queue.put(chunk), loop
+                ).result(timeout=120)
+                return True
+            except Exception:
+                cancelled.set()
+                return False
 
         def produce() -> None:
             first = True
             try:
                 for result in self._results_blocking(params):
+                    if cancelled.is_set():
+                        return  # client went away: stop synthesizing
                     if not isinstance(result, AudioResult):
                         continue
                     if first:
-                        header = _streaming_wav_header(
-                            result.sample_rate_hz,
-                            result.num_channels,
-                            result.sample_width_bytes,
-                        )
-                        loop.call_soon_threadsafe(
-                            queue.put_nowait, header
-                        )
+                        if not put(
+                            _streaming_wav_header(
+                                result.sample_rate_hz,
+                                result.num_channels,
+                                result.sample_width_bytes,
+                            )
+                        ):
+                            return
                         first = False
-                    loop.call_soon_threadsafe(
-                        queue.put_nowait, result.audio_bytes
-                    )
+                    if not put(result.audio_bytes):
+                        return
                 if first:  # no audio at all: still emit a valid header
-                    loop.call_soon_threadsafe(
-                        queue.put_nowait,
-                        _streaming_wav_header(22050, 1, 2),
-                    )
+                    put(_streaming_wav_header(22050, 1, 2))
             except Exception:
                 _LOGGER.exception("Streaming synthesis failed")
             finally:
-                loop.call_soon_threadsafe(queue.put_nowait, None)
+                if not cancelled.is_set():
+                    put(None)
 
         def _streaming_wav_header(
             rate: int, channels: int, width: int
@@ -270,11 +292,17 @@ class TtsApp:
             )
 
         self._executor.submit(produce)
-        while True:
-            chunk = await queue.get()
-            if chunk is None:
-                return
-            yield chunk
+        try:
+            while True:
+                chunk = await queue.get()
+                if chunk is None:
+                    return
+                yield chunk
+        finally:
+            # consumer closed (client disconnect): signal the producer
+            cancelled.set()
+            while not queue.empty():
+                queue.get_nowait()
 
     def shutdown(self) -> None:
         self._executor.shutdown(wait=False)
@@ -369,15 +397,25 @@ def build_server(app: TtsApp) -> HttpServer:
     async def api_stats(request: Request):
         """Serving metrics (mimic3-tpu extension): batch sizes, RTF."""
         sessions = {}
-        for engine in app._engines:
-            for key, voice in engine._loaded_voices.items():
-                stats = voice.session.stats
-                sessions[key] = {
-                    "utterances": stats.utterances,
-                    "mean_rtf": stats.mean_rtf,
-                    "last_rtf": stats.last_rtf,
-                    "audio_sec": stats.audio_sec,
-                }
+        # worker threads may be loading voices concurrently; retry the
+        # snapshot if a dict changes size mid-copy
+        for _attempt in range(3):
+            try:
+                for engine in list(app._engines):
+                    for key, voice in list(
+                        engine._loaded_voices.items()
+                    ):
+                        stats = voice.session.stats
+                        sessions[key] = {
+                            "utterances": stats.utterances,
+                            "mean_rtf": stats.mean_rtf,
+                            "last_rtf": stats.last_rtf,
+                            "audio_sec": stats.audio_sec,
+                        }
+                break
+            except RuntimeError:
+                sessions.clear()
+                continue
         payload = {
             "scheduler": {
                 "batches": app.scheduler.stats.batches,

@@ -115,8 +115,11 @@ class HttpServer:
         body = b""
         length = int(headers.get("content-length", "0") or 0)
         if length > MAX_BODY_BYTES:
-            return Request(method, target, {}, headers, b"")
-        if length:
+            # mark oversized; the dispatcher answers 413 and the
+            # connection is closed (the unread body would desync it)
+            headers["x-body-too-large"] = "1"
+            headers["connection"] = "close"
+        elif length:
             body = await reader.readexactly(length)
 
         split = urlsplit(target)
@@ -179,6 +182,10 @@ class HttpServer:
                 pass
 
     async def _dispatch(self, request: Request) -> HttpResponse:
+        if request.headers.get("x-body-too-large"):
+            return HttpResponse(
+                body=b"413 Payload Too Large", status=413
+            )
         handler, status = self._resolve(request)
         if handler is None:
             return HttpResponse(

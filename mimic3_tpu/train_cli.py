@@ -153,7 +153,10 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     )
     bs = batch_sharding(mesh)
 
-    train_step = jax.jit(make_train_step(config))
+    steps_per_epoch = max(1, len(utterances) // batch_size)
+    train_step = jax.jit(
+        make_train_step(config, steps_per_epoch=steps_per_epoch)
+    )
 
     data = batches(
         utterances, config, batch_size, seed=config.seed

@@ -20,10 +20,14 @@ PORT = 59333
 BASE = f"http://127.0.0.1:{PORT}"
 
 
+CACHE_DIR = {}
+
+
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
     root = tmp_path_factory.mktemp("srv_voices")
     create_test_voice(root / "en_US" / "test_low", full_size=False)
+    CACHE_DIR["path"] = tmp_path_factory.mktemp("wav_cache")
     proc = subprocess.Popen(
         [
             sys.executable,
@@ -42,7 +46,7 @@ def server(tmp_path_factory):
             "--preload-voice",
             "en_US/test_low",
             "--cache-dir",
-            str(tmp_path_factory.mktemp("wav_cache")),
+            str(CACHE_DIR["path"]),
         ],
         cwd=REPO,
         env={
@@ -214,6 +218,37 @@ def test_tts_streaming(server):
 
     arr = np.frombuffer(pcm[: len(pcm) // 2 * 2], np.int16)
     assert np.abs(arr.astype(np.int32)).max() > 0
+
+
+def test_cache_id_traversal_blocked(server):
+    """A cacheId with path components must not escape the cache dir."""
+    query = urllib.parse.urlencode(
+        {"text": "traversal probe", "voice": "en_US/test_low",
+         "cacheId": "../../escape"}
+    )
+    status, body, _ = get(f"/api/tts?{query}")
+    assert status == 200
+    cache_dir = CACHE_DIR["path"]
+    assert not (cache_dir.parent / "escape.wav").exists()
+    assert not (cache_dir.parent.parent / "escape.wav").exists()
+    # the sanitized entry lives INSIDE the cache dir
+    inside = list(cache_dir.glob("*escape*.wav"))
+    assert inside, list(cache_dir.iterdir())
+
+
+def test_oversized_body_413(server):
+    import socket
+
+    with socket.create_connection(("127.0.0.1", PORT), timeout=10) as s:
+        s.sendall(
+            b"POST /api/tts HTTP/1.1\r\n"
+            b"Host: x\r\n"
+            b"Content-Length: 999999999\r\n"
+            b"\r\n"
+            b"partial body"
+        )
+        response = s.recv(4096).decode()
+    assert "413" in response.splitlines()[0]
 
 
 def test_404(server):

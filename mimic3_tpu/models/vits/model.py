@@ -480,6 +480,7 @@ class VitsModel:
             n_layers=self.hp.n_layers,
             n_heads=self.hp.n_heads,
             kernel_size=self.hp.kernel_size,
+            use_pallas=self.use_pallas,
         )
 
     def speaker_embedding(

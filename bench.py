@@ -34,6 +34,11 @@ def main() -> int:
         action="store_true",
         help="Also report single-stream RTF",
     )
+    parser.add_argument(
+        "--multispeaker",
+        action="store_true",
+        help="Sweep speaker ids across the batch (vctk-style config)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -46,7 +51,13 @@ def main() -> int:
     device = jax.devices()[0]
     print(f"device: {device}", file=sys.stderr)
 
-    config = ModelConfig(num_symbols=130)  # real *_low dims
+    if args.multispeaker:
+        # en_US/vctk_low dimensions: 109 speakers, gin 256
+        config = ModelConfig(
+            num_symbols=130, n_speakers=109, gin_channels=256
+        )
+    else:
+        config = ModelConfig(num_symbols=130)  # real *_low dims
     model = VitsModel(config, decoder_dtype=jnp.bfloat16)
     params = init_vits_params(jax.random.PRNGKey(0), config)
     params = jax.device_put(params)
@@ -60,12 +71,50 @@ def main() -> int:
     )
     lengths = jnp.full((args.batch,), args.phonemes, jnp.int32)
     rng = jax.random.PRNGKey(1)
+    sid = (
+        jnp.asarray(
+            rng_np.randint(0, config.n_speakers, (args.batch,)),
+            jnp.int32,
+        )
+        if args.multispeaker
+        else None
+    )
 
-    dur_fn = jax.jit(model.infer_durations)
+    if args.multispeaker:
 
-    def _dec(params, ids, lengths, durations, num_frames, rng, noise):
-        audio, sample_lengths = model.decode_frames(
-            params, ids, lengths, durations, num_frames, rng, noise
+        def _dur(params, ids, lengths, rng, length_scale, noise_w, sid):
+            return model.infer_durations(
+                params, ids, lengths, rng, length_scale, noise_w,
+                sid=sid,
+            )
+
+        def _dec_inner(params, ids, lengths, durations, num_frames,
+                       rng, noise, sid):
+            return model.decode_frames(
+                params, ids, lengths, durations, num_frames, rng,
+                noise, sid=sid,
+            )
+    else:
+
+        def _dur(params, ids, lengths, rng, length_scale, noise_w, sid):
+            del sid
+            return model.infer_durations(
+                params, ids, lengths, rng, length_scale, noise_w
+            )
+
+        def _dec_inner(params, ids, lengths, durations, num_frames,
+                       rng, noise, sid):
+            del sid
+            return model.decode_frames(
+                params, ids, lengths, durations, num_frames, rng, noise
+            )
+
+    dur_fn = jax.jit(_dur)
+
+    def _dec(params, ids, lengths, durations, num_frames, rng, noise,
+             sid):
+        audio, sample_lengths = _dec_inner(
+            params, ids, lengths, durations, num_frames, rng, noise, sid
         )
         # tiny on-device checksum: fetching it forces the decode to
         # actually finish (block_until_ready is unreliable over the
@@ -78,11 +127,11 @@ def main() -> int:
     def synthesize(step_rng):
         durations, _totals = dur_fn(
             params, ids, lengths, step_rng,
-            jnp.float32(1.0), jnp.float32(0.8),
+            jnp.float32(1.0), jnp.float32(0.8), sid,
         )
         checksum, sample_lengths = dec_fn(
             params, ids, lengths, durations, args.frames, step_rng,
-            jnp.float32(0.667),
+            jnp.float32(0.667), sid,
         )
         return checksum, sample_lengths
 
@@ -130,15 +179,16 @@ def main() -> int:
     if args.single_stream:
         ids1 = ids[:1]
         len1 = lengths[:1]
+        sid1 = sid[:1] if sid is not None else None
 
         def synth1(step_rng):
             durations, _ = dur_fn(
                 params, ids1, len1, step_rng,
-                jnp.float32(1.0), jnp.float32(0.8),
+                jnp.float32(1.0), jnp.float32(0.8), sid1,
             )
             return dec_fn(
                 params, ids1, len1, durations, args.frames, step_rng,
-                jnp.float32(0.667),
+                jnp.float32(0.667), sid1,
             )
 
         cs, sl = synth1(rng)

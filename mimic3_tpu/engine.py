@@ -469,6 +469,14 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
             audio_bytes=audio_bytes,
         )
 
+    # -- lifecycle ---------------------------------------------------------------
+
+    def shutdown(self) -> None:
+        """Release loaded voices (shared sessions stay cached for other
+        engines; see VitsSession.get_shared)."""
+        self._loaded_voices.clear()
+        self._pending.clear()
+
     # -- loading ---------------------------------------------------------------------
 
     def preloaded_voice(self, voice_key: str):

@@ -56,6 +56,12 @@ def enable_compilation_cache() -> None:
     from pathlib import Path
 
     jax = _jax()
+    if jax.default_backend() == "cpu":
+        # CPU AOT artifacts embed exact machine features; a cache entry
+        # compiled elsewhere (e.g. the remote compile service) can SIGILL
+        # on this host. Only accelerator executables are cached.
+        _LOGGER.debug("compilation cache skipped on CPU backend")
+        return
     cache_dir = os.environ.get(
         "MIMIC3_COMPILE_CACHE",
         str(

@@ -53,7 +53,9 @@ def main():
 
     from mimic3_tpu.config import ModelConfig
     from mimic3_tpu.models.vits import VitsModel, init_vits_params
+    from mimic3_tpu.runtime.session import enable_compilation_cache
 
+    enable_compilation_cache()
     print("devices:", jax.devices(), flush=True)
     rng_np = np.random.RandomState(0)
 

@@ -249,12 +249,17 @@ def main() -> int:
             ) / sample_rate
         single_elapsed = sum(latencies)
         latencies.sort()
-        result["extra"]["single_stream_x_realtime"] = round(
+        p50 = latencies[len(latencies) // 2]
+        audio_per_call = audio_sec / n
+        result["extra"]["single_stream_x_realtime_mean"] = round(
             audio_sec / single_elapsed, 1
         )
-        result["extra"]["p50_latency_ms"] = round(
-            latencies[len(latencies) // 2] * 1000, 1
+        # median is the honest serving number: the mean is skewed by
+        # sporadic multi-hundred-ms tunnel hiccups
+        result["extra"]["single_stream_x_realtime_p50"] = round(
+            audio_per_call / p50, 1
         )
+        result["extra"]["p50_latency_ms"] = round(p50 * 1000, 1)
 
     print(json.dumps(result))
     return 0

@@ -436,16 +436,20 @@ def init_vits_params(
 
 
 def expand_by_durations(
-    values: jax.Array, durations: jax.Array, num_frames: int
+    values: jax.Array,
+    durations: jax.Array,
+    num_frames: int,
+    frame_offset: typing.Union[int, jax.Array] = 0,
 ) -> jax.Array:
     """Expand text-aligned values [B, T, C] to frames [B, F, C].
 
     ``durations``: int32 [B, T] frames per phoneme.  Frame ``f`` takes the
     value of the phoneme whose cumulative-duration interval contains it
     (past-the-end frames clamp to the last phoneme; callers mask them).
+    ``frame_offset`` shifts the frame window (chunked/streaming decode).
     """
     cum = jnp.cumsum(durations, axis=1)  # [B, T]
-    frames = jnp.arange(num_frames, dtype=cum.dtype)  # [F]
+    frames = frame_offset + jnp.arange(num_frames, dtype=cum.dtype)
     idx = jax.vmap(
         lambda c: jnp.searchsorted(c, frames, side="right")
     )(cum)
@@ -552,10 +556,17 @@ class VitsModel:
         noise_scale: jax.Array,
         sid: typing.Optional[jax.Array] = None,
         prior_noise: typing.Optional[jax.Array] = None,
+        frame_offset: typing.Union[int, jax.Array] = 0,
     ) -> typing.Tuple[jax.Array, jax.Array]:
         """Decode to audio given per-phoneme frame counts.
 
         Returns (audio [B, num_frames*hop] float32, sample lengths [B]).
+
+        ``frame_offset`` decodes the window [offset, offset+num_frames)
+        of the full utterance — chunked/streaming decode.  Pass the same
+        ``prior_noise`` slices across calls for seam-exact chunks (the
+        internal RNG is shape-dependent, so chunked calls must supply
+        noise explicitly when noise_scale > 0).
         """
         x_mask = sequence_mask(lengths, ids.shape[1])
         g = self.speaker_embedding(params, sid) if sid is not None else None
@@ -563,10 +574,16 @@ class VitsModel:
 
         durations = durations * x_mask[..., 0].astype(durations.dtype)
         y_lengths = jnp.maximum(jnp.sum(durations, axis=1), 1)
-        y_mask = sequence_mask(y_lengths, num_frames)
+        y_mask = sequence_mask(
+            jnp.maximum(y_lengths - frame_offset, 0), num_frames
+        )
 
-        m_p_f = expand_by_durations(m_p, durations, num_frames)
-        logs_p_f = expand_by_durations(logs_p, durations, num_frames)
+        m_p_f = expand_by_durations(
+            m_p, durations, num_frames, frame_offset
+        )
+        logs_p_f = expand_by_durations(
+            logs_p, durations, num_frames, frame_offset
+        )
 
         if prior_noise is None:
             prior_noise = jax.random.normal(

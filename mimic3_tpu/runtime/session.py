@@ -180,8 +180,26 @@ class VitsSession:
                 noise_scale, sid=sid if multispeaker else None,
             )
 
+        def dec_chunk_fn(
+            params, ids, lengths, durations, noise_scale, sid,
+            prior_noise, frame_offset, *, num_frames,
+        ):
+            import jax as _jx
+
+            return self.model.decode_frames(
+                params, ids, lengths, durations, num_frames,
+                _jx.random.PRNGKey(0),  # unused: noise is explicit
+                noise_scale,
+                sid=sid if multispeaker else None,
+                prior_noise=prior_noise,
+                frame_offset=frame_offset,
+            )
+
         self._dur_fn = jax.jit(dur_fn)
         self._dec_fn = jax.jit(dec_fn, static_argnames=("num_frames",))
+        self._dec_chunk_fn = jax.jit(
+            dec_chunk_fn, static_argnames=("num_frames",)
+        )
 
     # -- shared sessions -----------------------------------------------------
 
@@ -340,6 +358,108 @@ class VitsSession:
             noise_w=noise_w,
             seed=seed,
         )[0]
+
+    def synthesize_ids_chunked(
+        self,
+        phoneme_ids: typing.Sequence[int],
+        *,
+        speaker_id: typing.Optional[int] = None,
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+        seed: typing.Optional[int] = None,
+        chunk_frames: int = 128,
+        overlap: int = 64,
+    ) -> typing.Iterator[np.ndarray]:
+        """Streaming decode: yield float32 audio in ~chunk_frames pieces.
+
+        First-chunk latency is one small decode instead of the whole
+        utterance.  Chunks are decoded with ``overlap`` frames of context
+        on each side and the seams trimmed; with overlap >= the
+        decoder+flow receptive field (~48 frames) chunks match the
+        non-chunked output to float tolerance.  One executable serves all
+        chunks (the frame offset is a traced argument).
+
+        Note: audio here is NOT peak-normalized (normalization is
+        per-utterance in the batch path; a stream can't know the final
+        peak) — callers apply a fixed gain.
+        """
+        import jax.numpy as jnp
+
+        start_time = time.perf_counter()
+        hop = self.model.hp.hop_length
+        lengths = np.array([len(phoneme_ids)], np.int32)
+        t_bucket = pick_bucket(int(lengths[0]), self.text_buckets)
+        ids = np.zeros((1, t_bucket), np.int32)
+        ids[0, : len(phoneme_ids)] = np.asarray(phoneme_ids, np.int32)
+        sid = np.array([speaker_id or 0], np.int32)
+
+        rng = self._next_key(seed)
+        ids_j = jnp.asarray(ids)
+        lengths_j = jnp.asarray(lengths)
+        sid_j = jnp.asarray(sid)
+
+        durations, totals = self._dur_fn(
+            self.params, ids_j, lengths_j, rng,
+            jnp.float32(length_scale), jnp.float32(noise_w), sid_j,
+        )
+        total = int(np.asarray(totals)[0])
+
+        window = chunk_frames + 2 * overlap
+        n_chunks = max(1, -(-total // chunk_frames))
+        inter = self.model.hp.inter_channels
+        if self.deterministic or noise_scale == 0.0:
+            noise_full = np.zeros(
+                (1, n_chunks * chunk_frames + 2 * overlap, inter),
+                np.float32,
+            )
+        else:
+            noise_rng = np.random.RandomState(
+                seed if seed is not None else self._call_counter
+            )
+            noise_full = noise_rng.randn(
+                1, n_chunks * chunk_frames + 2 * overlap, inter
+            ).astype(np.float32)
+
+        emitted = 0
+        for ci in range(n_chunks):
+            start = ci * chunk_frames
+            left = overlap if start > 0 else 0
+            off = start - left
+            # global frame f always reads noise_full[f + overlap], so
+            # overlapping windows see identical noise (seam-exact)
+            noise_slice = noise_full[:, off + overlap :][:, :window]
+            # keep a static noise window shape
+            if noise_slice.shape[1] < window:
+                noise_slice = np.pad(
+                    noise_slice,
+                    ((0, 0), (0, window - noise_slice.shape[1]), (0, 0)),
+                )
+            audio, _ = self._dec_chunk_fn(
+                self.params,
+                ids_j,
+                lengths_j,
+                durations,
+                jnp.float32(noise_scale),
+                sid_j,
+                jnp.asarray(noise_slice),
+                jnp.int32(off),
+                num_frames=window,
+            )
+            valid = min(chunk_frames, total - start)
+            if valid <= 0:
+                break
+            chunk = np.asarray(
+                audio[0, left * hop : (left + valid) * hop],
+                dtype=np.float32,
+            )
+            emitted += valid
+            yield chunk
+
+        elapsed = time.perf_counter() - start_time
+        self.stats.record(
+            elapsed, emitted * hop / self.config.audio.sample_rate
+        )
 
     # -- warmup ---------------------------------------------------------------
 

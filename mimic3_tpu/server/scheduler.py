@@ -71,6 +71,7 @@ class BatchScheduler:
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1000.0
         self.stats = SchedulerStats()
+        self._closed = False
         self._queue: "queue.Queue[typing.Optional[_BatchItem]]" = (
             queue.Queue()
         )
@@ -93,6 +94,8 @@ class BatchScheduler:
         noise_w: float = 0.8,
         seed: typing.Optional[int] = None,
     ) -> "Future[np.ndarray]":
+        if self._closed:
+            raise RuntimeError("BatchScheduler is shut down")
         item = _BatchItem(
             session=session,
             ids=list(ids),
@@ -106,6 +109,7 @@ class BatchScheduler:
         return item.future
 
     def shutdown(self) -> None:
+        self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=10)
 

@@ -1,0 +1,97 @@
+"""Downloader logic tests (no network: local file:// URLs + registry)."""
+
+import hashlib
+from pathlib import Path
+
+import pytest
+
+from mimic3_tpu.download import (
+    VoiceDownloadError,
+    VoiceFile,
+    download_voice,
+    is_later_version,
+    is_voice_downloaded,
+)
+from mimic3_tpu.voices_registry import (
+    get_voices_registry,
+    DEFAULT_VOICES_URL_FORMAT,
+)
+
+
+def test_is_later_version():
+    assert is_later_version("2.0", "1.9")
+    assert is_later_version("1.10", "1.9")
+    assert not is_later_version("1.0", "1.0")
+    assert not is_later_version("1.0", "1.0.1")
+    assert is_later_version("1.0.1", "1.0")
+
+
+def test_registry_contents():
+    registry = get_voices_registry()
+    assert len(registry) == 40
+    apope = registry["en_UK/apope_low"]
+    assert "generator.onnx" in apope["files"]
+    assert apope["files"]["generator.onnx"]["sha256_sum"]
+    assert "{lang}" in DEFAULT_VOICES_URL_FORMAT
+    vctk = registry["en_US/vctk_low"]
+    assert len(vctk["speakers"]) > 100
+
+
+def test_download_from_local_url(tmp_path):
+    # serve "remote" files via file:// URLs
+    src = tmp_path / "remote"
+    src.mkdir()
+    payload = b"fake model data"
+    (src / "generator.onnx").write_bytes(payload)
+    (src / "config.json").write_bytes(b"{}")
+    sha = hashlib.sha256(payload).hexdigest()
+
+    dest = tmp_path / "voices"
+    voice_dir = download_voice(
+        "xx_XX/fake_low",
+        f"file://{src}",
+        [
+            VoiceFile("generator.onnx", len(payload), sha),
+            VoiceFile("config.json"),
+        ],
+        voice_version="1.0",
+        voices_dir=dest,
+        progress=False,
+    )
+    assert (voice_dir / "generator.onnx").read_bytes() == payload
+
+    # second download skips (sha match): corrupt the source to prove it
+    (src / "generator.onnx").write_bytes(b"changed upstream")
+    download_voice(
+        "xx_XX/fake_low",
+        f"file://{src}",
+        [VoiceFile("generator.onnx", len(payload), sha)],
+        voice_version="1.0",
+        voices_dir=dest,
+        progress=False,
+    )
+    assert (voice_dir / "generator.onnx").read_bytes() == payload
+
+
+def test_download_sha_mismatch(tmp_path):
+    src = tmp_path / "remote"
+    src.mkdir()
+    (src / "generator.onnx").write_bytes(b"evil bytes")
+    with pytest.raises(VoiceDownloadError):
+        download_voice(
+            "xx_XX/fake_low",
+            f"file://{src}",
+            [VoiceFile("generator.onnx", 10, "0" * 64)],
+            voice_version="1.0",
+            voices_dir=tmp_path / "voices",
+            progress=False,
+        )
+    # failed file must not be left behind
+    assert not (
+        tmp_path / "voices" / "xx_XX" / "fake_low" / "generator.onnx"
+    ).exists()
+
+
+def test_is_voice_downloaded_false_for_missing(tmp_path):
+    assert not is_voice_downloaded("en_UK/apope_low", tmp_path)
+    assert not is_voice_downloaded("not/a_voice", tmp_path)

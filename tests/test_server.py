@@ -260,6 +260,41 @@ def test_404(server):
     assert status == 404
 
 
+def test_cli_remote_mode(server):
+    """The mimic3 CLI's --remote client drives the server end to end."""
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "mimic3_tpu.cli",
+            "--remote", BASE,
+            "--voice", "en_US/test_low",
+            "--stdout",
+            "remote client check",
+        ],
+        capture_output=True,
+        timeout=120,
+        cwd=REPO,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+    )
+    assert result.returncode == 0, result.stderr.decode()[-2000:]
+    with wave.open(io.BytesIO(result.stdout)) as w:
+        assert w.getnframes() > 0
+
+
+def test_cli_remote_voices(server):
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "mimic3_tpu.cli",
+            "--remote", BASE, "--voices",
+        ],
+        capture_output=True,
+        timeout=60,
+        cwd=REPO,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+    )
+    assert result.returncode == 0, result.stderr.decode()[-2000:]
+    assert "en_US/test_low" in result.stdout.decode()
+
+
 def test_concurrent_requests_batch(server):
     """Concurrent requests must all succeed (and share device batches)."""
     import concurrent.futures

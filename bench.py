@@ -39,7 +39,42 @@ def main() -> int:
         action="store_true",
         help="Sweep speaker ids across the batch (vctk-style config)",
     )
+    parser.add_argument(
+        "--watchdog-sec",
+        type=int,
+        default=3300,
+        help="Emit an error JSON line and exit if not done in time "
+        "(this machine's TPU tunnel can hang indefinitely)",
+    )
     args = parser.parse_args()
+
+    if args.watchdog_sec > 0:
+        import os
+        import threading
+
+        def _watchdog():
+            print(
+                json.dumps(
+                    {
+                        "metric": "batched synthesis throughput "
+                        "(VITS *_low)",
+                        "value": 0.0,
+                        "unit": "audio-sec/sec/chip",
+                        "vs_baseline": 0.0,
+                        "extra": {
+                            "error": "watchdog timeout: TPU tunnel "
+                            "unresponsive or compile service stalled",
+                            "watchdog_sec": args.watchdog_sec,
+                        },
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+        timer = threading.Timer(args.watchdog_sec, _watchdog)
+        timer.daemon = True
+        timer.start()
 
     import jax
     import jax.numpy as jnp

@@ -203,38 +203,49 @@ def main() -> int:
 
     throughput = total_audio_sec / elapsed
 
-    # device-side throughput: N decodes chained inside ONE executable
+    # device-side throughput: N full pipelines (duration pass + decode)
+    # chained inside ONE executable, counting only VALID audio samples —
+    # isolates chip time from the ~25ms/call tunnel round trips
     loop_n = 8
-    durations0, _ = dur_fn(
-        params, ids, lengths, rng, jnp.float32(1.0),
-        jnp.float32(0.8), sid,
-    )
 
     @jax.jit
-    def dec_loop(params, ids, lengths, durations, rng):
-        def body(i, acc):
-            audio, _ = _dec_inner(
-                params, ids, lengths, durations, args.frames,
-                jax.random.fold_in(rng, i), jnp.float32(0.667), sid,
+    def pipeline_loop(params, ids, lengths, rng):
+        def body(i, carry):
+            acc, audio_samples = carry
+            step_rng = jax.random.fold_in(rng, i)
+            durations, totals = _dur(
+                params, ids, lengths, step_rng,
+                jnp.float32(1.0), jnp.float32(0.8), sid,
             )
-            return acc + jnp.sum(audio[:, :: 4096].astype(jnp.float32))
+            audio, sample_lengths = _dec_inner(
+                params, ids, lengths, durations, args.frames,
+                step_rng, jnp.float32(0.667), sid,
+            )
+            valid = jnp.sum(
+                jnp.minimum(sample_lengths, args.frames * hop)
+            )
+            acc = acc + jnp.sum(audio[:, :: 4096].astype(jnp.float32))
+            return acc, audio_samples + valid
 
-        return jax.lax.fori_loop(0, loop_n, body, 0.0)
+        acc, samples = jax.lax.fori_loop(
+            0, loop_n, body, (0.0, jnp.int32(0))
+        )
+        return acc, samples
 
-    float(dec_loop(params, ids, lengths, durations0, rng))  # compile
+    acc, _ = pipeline_loop(params, ids, lengths, rng)
+    float(acc)  # compile + complete
     t0 = time.perf_counter()
     reps = 3
+    total_samples = 0
     for i in range(reps):
-        float(
-            dec_loop(
-                params, ids, lengths, durations0,
-                jax.random.fold_in(rng, 7000 + i),
-            )
+        acc, samples = pipeline_loop(
+            params, ids, lengths, jax.random.fold_in(rng, 7000 + i)
         )
-    per_decode = (time.perf_counter() - t0) / (reps * loop_n)
-    device_throughput = (args.batch * args.frames * hop / sample_rate) / (
-        per_decode
-    )
+        float(acc)
+        total_samples += int(samples)
+    loop_elapsed = time.perf_counter() - t0
+    per_decode = loop_elapsed / (reps * loop_n)
+    device_throughput = (total_samples / sample_rate) / loop_elapsed
 
     headline = max(throughput, device_throughput)
     result = {

@@ -557,6 +557,9 @@ class VitsModel:
         sid: typing.Optional[jax.Array] = None,
         prior_noise: typing.Optional[jax.Array] = None,
         frame_offset: typing.Union[int, jax.Array] = 0,
+        enc_stats: typing.Optional[
+            typing.Tuple[jax.Array, jax.Array]
+        ] = None,
     ) -> typing.Tuple[jax.Array, jax.Array]:
         """Decode to audio given per-phoneme frame counts.
 
@@ -566,11 +569,16 @@ class VitsModel:
         of the full utterance — chunked/streaming decode.  Pass the same
         ``prior_noise`` slices across calls for seam-exact chunks (the
         internal RNG is shape-dependent, so chunked calls must supply
-        noise explicitly when noise_scale > 0).
+        noise explicitly when noise_scale > 0).  ``enc_stats`` =
+        precomputed (m_p, logs_p) skips the encoder (chunked decode
+        computes it once instead of per chunk).
         """
         x_mask = sequence_mask(lengths, ids.shape[1])
         g = self.speaker_embedding(params, sid) if sid is not None else None
-        _, m_p, logs_p = self.encode(params, ids, x_mask)
+        if enc_stats is not None:
+            m_p, logs_p = enc_stats
+        else:
+            _, m_p, logs_p = self.encode(params, ids, x_mask)
 
         durations = durations * x_mask[..., 0].astype(durations.dtype)
         y_lengths = jnp.maximum(jnp.sum(durations, axis=1), 1)

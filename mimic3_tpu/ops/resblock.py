@@ -34,6 +34,19 @@ def _leaky(x: jax.Array) -> jax.Array:
     return jnp.where(x >= 0, x, x * LRELU_SLOPE)
 
 
+def aligned_tile(
+    t: int, max_tile: int = 2048
+) -> typing.Optional[int]:
+    """Largest power-of-two-derived divisor of t that is <= max_tile and
+    sublane-aligned; None when t has no usable tile."""
+    tile = min(max_tile, t)
+    while tile > 8 and t % tile:
+        tile //= 2
+    if t % tile:
+        return None
+    return tile
+
+
 def _subblock_kernel(
     x_hbm,  # [B, T + 2*halo, C] in HBM (pre-padded)
     w1_ref,  # [K, C, C] VMEM
@@ -122,11 +135,8 @@ def fused_resblock_subblock(
     halo2 = (kernel_size - 1) // 2
     halo = halo1 + halo2
 
-    # largest divisor of T that is <= tile and sublane-aligned
-    tile = min(tile, t)
-    while tile > 8 and t % tile:
-        tile //= 2
-    if t % tile:
+    tile = aligned_tile(t, tile)
+    if tile is None:
         raise ValueError(f"T={t} has no aligned tile size")
 
     x_padded = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
@@ -194,24 +204,24 @@ def resblock1_fused(
 ) -> jax.Array:
     """HiFi-GAN ResBlock1 via the fused Pallas kernel (inference path;
     weight norm must already be folded).  Falls back to the plain XLA
-    resblock when the time length has no aligned tile size."""
-    try:
-        for j, d in enumerate(dilations):
-            sj = str(j)
-            p1 = params["convs1"][sj]
-            p2 = params["convs2"][sj]
-            x = fused_resblock_subblock(
-                x,
-                p1["weight"],
-                p1.get("bias"),
-                p2["weight"],
-                p2.get("bias"),
-                kernel_size=kernel_size,
-                dilation=d,
-                interpret=interpret,
-            )
-        return x
-    except ValueError:
+    resblock when the time length has no aligned tile size (checked up
+    front — other errors propagate)."""
+    if aligned_tile(x.shape[1]) is None:
         from ..models.vits.hifigan import resblock1
 
         return resblock1(params, x, kernel_size, dilations)
+    for j, d in enumerate(dilations):
+        sj = str(j)
+        p1 = params["convs1"][sj]
+        p2 = params["convs2"][sj]
+        x = fused_resblock_subblock(
+            x,
+            p1["weight"],
+            p1.get("bias"),
+            p2["weight"],
+            p2.get("bias"),
+            kernel_size=kernel_size,
+            dilation=d,
+            interpret=interpret,
+        )
+    return x

@@ -180,9 +180,16 @@ class VitsSession:
                 noise_scale, sid=sid if multispeaker else None,
             )
 
+        def enc_fn(params, ids, lengths):
+            from ..models.vits.layers import sequence_mask
+
+            x_mask = sequence_mask(lengths, ids.shape[1])
+            _, m_p, logs_p = self.model.encode(params, ids, x_mask)
+            return m_p, logs_p
+
         def dec_chunk_fn(
             params, ids, lengths, durations, noise_scale, sid,
-            prior_noise, frame_offset, *, num_frames,
+            prior_noise, frame_offset, m_p, logs_p, *, num_frames,
         ):
             import jax as _jx
 
@@ -193,10 +200,12 @@ class VitsSession:
                 sid=sid if multispeaker else None,
                 prior_noise=prior_noise,
                 frame_offset=frame_offset,
+                enc_stats=(m_p, logs_p),
             )
 
         self._dur_fn = jax.jit(dur_fn)
         self._dec_fn = jax.jit(dec_fn, static_argnames=("num_frames",))
+        self._enc_fn = jax.jit(enc_fn)
         self._dec_chunk_fn = jax.jit(
             dec_chunk_fn, static_argnames=("num_frames",)
         )
@@ -370,6 +379,7 @@ class VitsSession:
         seed: typing.Optional[int] = None,
         chunk_frames: int = 128,
         overlap: int = 64,
+        max_frames_cap: int = 32768,
     ) -> typing.Iterator[np.ndarray]:
         """Streaming decode: yield float32 audio in ~chunk_frames pieces.
 
@@ -404,6 +414,19 @@ class VitsSession:
             jnp.float32(length_scale), jnp.float32(noise_w), sid_j,
         )
         total = int(np.asarray(totals)[0])
+        if total > max_frames_cap:
+            _LOGGER.warning(
+                "Chunked output of %d frames exceeds cap %d; truncating",
+                total, max_frames_cap,
+            )
+            dur_np = np.asarray(durations)
+            cum = np.minimum(np.cumsum(dur_np, axis=1), max_frames_cap)
+            durations = jnp.asarray(
+                np.concatenate([cum[:, :1], np.diff(cum, axis=1)], axis=1)
+            )
+            total = max_frames_cap
+
+        m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
 
         window = chunk_frames + 2 * overlap
         n_chunks = max(1, -(-total // chunk_frames))
@@ -424,7 +447,11 @@ class VitsSession:
         emitted = 0
         for ci in range(n_chunks):
             start = ci * chunk_frames
-            left = overlap if start > 0 else 0
+            valid = min(chunk_frames, total - start)
+            if valid <= 0:
+                break
+            # never fabricate left context before frame 0
+            left = min(overlap, start)
             off = start - left
             # global frame f always reads noise_full[f + overlap], so
             # overlapping windows see identical noise (seam-exact)
@@ -444,11 +471,10 @@ class VitsSession:
                 sid_j,
                 jnp.asarray(noise_slice),
                 jnp.int32(off),
+                m_p,
+                logs_p,
                 num_frames=window,
             )
-            valid = min(chunk_frames, total - start)
-            if valid <= 0:
-                break
             chunk = np.asarray(
                 audio[0, left * hop : (left + valid) * hop],
                 dtype=np.float32,

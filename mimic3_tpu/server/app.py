@@ -262,8 +262,27 @@ class TtsApp:
             except Exception:
                 _LOGGER.exception("Streaming synthesis failed")
             finally:
-                if not cancelled.is_set():
-                    put(None)
+                # ALWAYS try to terminate the consumer — even after a
+                # put() timeout/cancel, a blocked consumer must see the
+                # sentinel or the HTTP response hangs forever
+                try:
+                    loop.call_soon_threadsafe(_force_sentinel)
+                except RuntimeError:
+                    pass  # loop already closed
+
+        def _force_sentinel() -> None:
+            try:
+                queue.put_nowait(None)
+            except asyncio.QueueFull:
+                # drop one buffered chunk to make room for the sentinel
+                try:
+                    queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    pass
+                try:
+                    queue.put_nowait(None)
+                except asyncio.QueueFull:
+                    pass
 
         def _streaming_wav_header(
             rate: int, channels: int, width: int

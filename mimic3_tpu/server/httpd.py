@@ -111,6 +111,8 @@ class HttpServer:
             if ":" in line:
                 name, _, value = line.partition(":")
                 headers[name.strip().lower()] = value.strip()
+        # internal flag namespace — never client-controlled
+        headers.pop("x-body-too-large", None)
 
         body = b""
         length = int(headers.get("content-length", "0") or 0)

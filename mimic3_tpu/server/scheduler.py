@@ -72,6 +72,7 @@ class BatchScheduler:
         self.max_delay = max_delay_ms / 1000.0
         self.stats = SchedulerStats()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._queue: "queue.Queue[typing.Optional[_BatchItem]]" = (
             queue.Queue()
         )
@@ -94,8 +95,6 @@ class BatchScheduler:
         noise_w: float = 0.8,
         seed: typing.Optional[int] = None,
     ) -> "Future[np.ndarray]":
-        if self._closed:
-            raise RuntimeError("BatchScheduler is shut down")
         item = _BatchItem(
             session=session,
             ids=list(ids),
@@ -105,12 +104,18 @@ class BatchScheduler:
             noise_w=noise_w,
             seed=seed,
         )
-        self._queue.put(item)
+        # lock closes the check-then-put race with shutdown(): no item
+        # can land after the None sentinel
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchScheduler is shut down")
+            self._queue.put(item)
         return item.future
 
     def shutdown(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._queue.put(None)
         self._thread.join(timeout=10)
 
     @property

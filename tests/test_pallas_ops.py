@@ -55,6 +55,70 @@ def test_fused_subblock_rejects_uneven_tiles():
         )
 
 
+def test_full_decode_pallas_matches_xla(monkeypatch):
+    """decode_frames with use_pallas (fused attention + resblocks, both
+    interpreted) must match the plain XLA decode."""
+    import jax as _jax
+
+    import mimic3_tpu.ops.attention as att
+    import mimic3_tpu.ops.resblock as rb
+    from mimic3_tpu.config import ModelConfig
+    from mimic3_tpu.models.vits import VitsModel, init_vits_params
+    from mimic3_tpu.models.vits.layers import fold_weight_norm
+
+    orig_att = att.fused_relative_attention
+    monkeypatch.setattr(
+        att,
+        "fused_relative_attention",
+        lambda *a, **k: orig_att(*a, **{**k, "interpret": True}),
+    )
+    orig_rb = rb.fused_resblock_subblock
+    monkeypatch.setattr(
+        rb,
+        "fused_resblock_subblock",
+        lambda *a, **k: orig_rb(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = ModelConfig(
+        num_symbols=40,
+        n_layers=1,
+        hidden_channels=32,
+        inter_channels=32,
+        filter_channels=64,
+        upsample_initial_channel=64,
+        upsample_rates=(4, 4),
+        upsample_kernel_sizes=(8, 8),
+    )
+    params = init_vits_params(_jax.random.PRNGKey(0), cfg)
+
+    def fold_tree(p):
+        if isinstance(p, dict):
+            if "weight_v" in p:
+                return fold_weight_norm(p)
+            return {k: fold_tree(v) for k, v in p.items()}
+        return p
+
+    params = fold_tree(params)
+
+    ids = jnp.array([[1, 5, 9, 3, 7, 2, 4, 8]], jnp.int32)
+    lengths = jnp.array([8])
+    durations = jnp.full((1, 8), 4, jnp.int32)
+    rng = _jax.random.PRNGKey(1)
+
+    m_ref = VitsModel(cfg, decoder_dtype=jnp.float32)
+    m_pl = VitsModel(cfg, decoder_dtype=jnp.float32, use_pallas=True)
+    a_ref, l_ref = m_ref.decode_frames(
+        params, ids, lengths, durations, 32, rng, jnp.float32(0.0)
+    )
+    a_pl, l_pl = m_pl.decode_frames(
+        params, ids, lengths, durations, 32, rng, jnp.float32(0.0)
+    )
+    assert int(l_ref[0]) == int(l_pl[0])
+    np.testing.assert_allclose(
+        np.asarray(a_pl), np.asarray(a_ref), atol=5e-5
+    )
+
+
 def test_hifigan_pallas_path_matches_xla():
     """Full generator with use_pallas=True (interpreted) == plain XLA."""
     from mimic3_tpu.config import ModelConfig

@@ -1,0 +1,105 @@
+"""Hermetic tests of the espeak-ng ctypes binding using a fake C library.
+
+libespeak-ng is absent in CI; a tiny C shim (tests/fake_espeak.c) fakes
+the exact API surface the binding uses, so clause-breaker preservation,
+word separators, and voice selection are tested for real through ctypes.
+"""
+
+import ctypes
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from mimic3_tpu.text.espeak import EspeakPhonemizer, EspeakError
+
+HERE = Path(__file__).parent
+
+
+@pytest.fixture(scope="module")
+def fake_lib(tmp_path_factory):
+    gcc = shutil.which("gcc") or shutil.which("g++")
+    if gcc is None:
+        pytest.skip("no C toolchain")
+    libdir = tmp_path_factory.mktemp("fakeespeak")
+    so = libdir / "libespeak-ng.so.1"
+    subprocess.run(
+        [gcc, "-shared", "-fPIC", str(HERE / "fake_espeak.c"),
+         "-o", str(so)],
+        check=True,
+        capture_output=True,
+    )
+    # point the binding at the fake library (class-level state)
+    old = (
+        EspeakPhonemizer._lib,
+        EspeakPhonemizer._initialized,
+        EspeakPhonemizer._current_voice,
+    )
+    EspeakPhonemizer._lib = None
+    EspeakPhonemizer._initialized = False
+    EspeakPhonemizer._current_voice = None
+    import mimic3_tpu.text.espeak as espeak_mod
+
+    old_names = espeak_mod._LIB_NAMES
+    espeak_mod._LIB_NAMES = (str(so),)
+    yield so
+    espeak_mod._LIB_NAMES = old_names
+    (
+        EspeakPhonemizer._lib,
+        EspeakPhonemizer._initialized,
+        EspeakPhonemizer._current_voice,
+    ) = old
+
+
+def test_available(fake_lib):
+    assert EspeakPhonemizer.is_available()
+
+
+def test_phonemize_clause_breakers(fake_lib):
+    p = EspeakPhonemizer()
+    out = p.phonemize(
+        "Hello world, goodbye now. The end",
+        voice="en-us",
+        keep_clause_breakers=True,
+        phoneme_separator="",
+        word_separator="#",
+        punctuation_separator="",
+    )
+    # fake lib lowercases words; the binding appends each clause breaker
+    # directly after the clause's last word (punctuation_separator=""),
+    # which is what the voice layer's break detection expects
+    # (reference: mimic3_tts/voice.py:522 checks word_phonemes[-1])
+    assert out == "hello#world,#goodbye#now.#the#end"
+
+    # downstream: IPA.graphemes of the last word ends with the breaker
+    from mimic3_tpu.text.ipa import IPA
+
+    words = out.split("#")
+    assert IPA.graphemes(words[1])[-1] == ","
+    assert IPA.graphemes(words[3])[-1] == "."
+
+
+def test_phonemize_without_breakers(fake_lib):
+    p = EspeakPhonemizer()
+    out = p.phonemize(
+        "One, two.",
+        voice="en-us",
+        keep_clause_breakers=False,
+        word_separator=" ",
+    )
+    assert out == "one two"
+
+
+def test_unknown_voice_raises(fake_lib):
+    p = EspeakPhonemizer()
+    with pytest.raises(EspeakError):
+        p.phonemize("hi", voice="xx-zz")
+
+
+def test_voice_switch(fake_lib):
+    p = EspeakPhonemizer()
+    assert p.phonemize("Hallo Welt", voice="de",
+                       word_separator=" ") == "hallo welt"
+    assert p.phonemize("Back again", voice="en-gb",
+                       word_separator=" ") == "back again"

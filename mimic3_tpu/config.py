@@ -253,6 +253,17 @@ class ModelConfig:
     gin_channels: int = 0
     use_sdp: bool = True
 
+    decoder_type: str = "hifigan"
+    """Decoder family: "hifigan" (reference voices) or "mb-istft"
+    (multi-band iSTFT decoder, ~4-10x cheaper — mimic3-tpu extension
+    for newly trained voices)."""
+
+    subbands: int = 4
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+    mb_upsample_rates: typing.Tuple[int, ...] = (4, 4)
+    mb_upsample_kernel_sizes: typing.Tuple[int, ...] = (16, 16)
+
     @property
     def is_multispeaker(self) -> bool:
         return self.n_speakers > 1

@@ -65,9 +65,20 @@ class VitsHyperparams:
     upsample_kernel_sizes: typing.Tuple[int, ...] = (16, 16, 4, 4)
     gin_channels: int = 0
     use_sdp: bool = True
+    decoder_type: str = "hifigan"
+    subbands: int = 4
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+    mb_upsample_rates: typing.Tuple[int, ...] = (4, 4)
+    mb_upsample_kernel_sizes: typing.Tuple[int, ...] = (16, 16)
 
     @property
     def hop_length(self) -> int:
+        if self.decoder_type == "mb-istft":
+            hop = self.istft_hop * self.subbands
+            for r in self.mb_upsample_rates:
+                hop *= r
+            return hop
         hop = 1
         for r in self.upsample_rates:
             hop *= r
@@ -76,6 +87,16 @@ class VitsHyperparams:
     @staticmethod
     def from_config(config: ModelConfig) -> "VitsHyperparams":
         return VitsHyperparams(
+            decoder_type=getattr(config, "decoder_type", "hifigan"),
+            subbands=getattr(config, "subbands", 4),
+            istft_n_fft=getattr(config, "istft_n_fft", 16),
+            istft_hop=getattr(config, "istft_hop", 4),
+            mb_upsample_rates=tuple(
+                getattr(config, "mb_upsample_rates", (4, 4))
+            ),
+            mb_upsample_kernel_sizes=tuple(
+                getattr(config, "mb_upsample_kernel_sizes", (16, 16))
+            ),
             num_symbols=config.num_symbols,
             n_speakers=config.n_speakers,
             inter_channels=config.inter_channels,
@@ -414,11 +435,28 @@ def init_vits_params(
     """
     hp = VitsHyperparams.from_config(config)
     k_enc, k_dp, k_flow, k_dec, k_g = jax.random.split(rng, 5)
+    if hp.decoder_type == "mb-istft":
+        from .mbistft import init_mb_istft
+
+        dec = init_mb_istft(
+            k_dec,
+            hp.inter_channels,
+            initial_channel=hp.upsample_initial_channel,
+            subbands=hp.subbands,
+            istft_n_fft=hp.istft_n_fft,
+            upsample_rates=hp.mb_upsample_rates,
+            upsample_kernel_sizes=hp.mb_upsample_kernel_sizes,
+            resblock_kernel_sizes=hp.resblock_kernel_sizes,
+            resblock_dilation_sizes=hp.resblock_dilation_sizes,
+            gin_channels=hp.gin_channels,
+        )
+    else:
+        dec = _init_hifigan(k_dec, hp)
     params: Params = {
         "enc_p": _init_encoder(k_enc, hp),
         "dp": _init_sdp(k_dp, hp) if hp.use_sdp else _init_dp(k_dp, hp),
         "flow": _init_flow(k_flow, hp),
-        "dec": _init_hifigan(k_dec, hp),
+        "dec": dec,
     }
     if hp.n_speakers > 1:
         params["emb_g"] = {
@@ -604,9 +642,35 @@ class VitsModel:
             params["flow"], z_p, y_mask, g=g, reverse=True
         )
 
-        audio = hfg.hifigan_generator(
-            params["dec"],
-            z * y_mask,
+        audio = self.decode_waveform(params["dec"], z * y_mask, g=g)
+        return audio, y_lengths * self.hp.hop_length
+
+    def decode_waveform(
+        self,
+        dec_params: Params,
+        z: jax.Array,
+        g: typing.Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Latent frames -> waveform via the configured decoder family."""
+        if self.hp.decoder_type == "mb-istft":
+            from .mbistft import mb_istft_generator
+
+            return mb_istft_generator(
+                dec_params,
+                z,
+                g=g,
+                subbands=self.hp.subbands,
+                istft_n_fft=self.hp.istft_n_fft,
+                istft_hop=self.hp.istft_hop,
+                resblock_kernel_sizes=self.hp.resblock_kernel_sizes,
+                resblock_dilation_sizes=self.hp.resblock_dilation_sizes,
+                upsample_rates=self.hp.mb_upsample_rates,
+                upsample_kernel_sizes=self.hp.mb_upsample_kernel_sizes,
+                compute_dtype=self.decoder_dtype,
+            )
+        return hfg.hifigan_generator(
+            dec_params,
+            z,
             g=g,
             resblock_type=self.hp.resblock,
             resblock_kernel_sizes=self.hp.resblock_kernel_sizes,
@@ -616,7 +680,6 @@ class VitsModel:
             compute_dtype=self.decoder_dtype,
             use_pallas=self.use_pallas,
         )
-        return audio, y_lengths * self.hp.hop_length
 
     # -- one-shot convenience ----------------------------------------------------
 

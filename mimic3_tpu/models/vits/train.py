@@ -29,7 +29,6 @@ from ...config import TrainingConfig
 from ...ops.stft import mel_spectrogram, spec_to_mel, spectrogram
 from . import duration as dur
 from . import flow as flw
-from . import hifigan as hfg
 from .discriminator import discriminate, init_discriminators
 from .layers import Params, sequence_mask
 from .mas import monotonic_alignment_search
@@ -260,16 +259,8 @@ def generator_forward(
     z_seg, starts = random_segments(
         z, batch.spec_lengths, k_seg, segment_frames
     )
-    y_hat = hfg.hifigan_generator(
-        params["dec"],
-        z_seg,
-        g=g,
-        resblock_type=model.hp.resblock,
-        resblock_kernel_sizes=model.hp.resblock_kernel_sizes,
-        resblock_dilation_sizes=model.hp.resblock_dilation_sizes,
-        upsample_rates=model.hp.upsample_rates,
-        upsample_kernel_sizes=model.hp.upsample_kernel_sizes,
-        compute_dtype=model.decoder_dtype,
+    y_hat = model.decode_waveform(
+        params["dec"], z_seg, g=g
     )  # [B, segment_frames*hop]
     y_real = slice_audio_segments(batch.audio, starts, segment_frames, hop)
 

@@ -29,6 +29,7 @@ def create_test_voice(
     seed: int = 1234,
     full_size: bool = True,
     sample_rate: int = 22050,
+    decoder_type: str = "hifigan",
 ) -> Path:
     """Write a complete synthetic voice directory; returns its path.
 
@@ -67,6 +68,7 @@ def create_test_voice(
         )
     if n_speakers > 1:
         model.gin_channels = 256 if full_size else 32
+    model.decoder_type = decoder_type
 
     config = TrainingConfig(seed=seed, model=model)
     config.audio.sample_rate = sample_rate
@@ -120,12 +122,19 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
         action="store_true",
         help="Small model (fast tests) instead of real *_low dimensions",
     )
+    parser.add_argument(
+        "--decoder",
+        choices=("hifigan", "mb-istft"),
+        default="hifigan",
+        help="Decoder family",
+    )
     args = parser.parse_args(argv)
     path = create_test_voice(
         args.voice_dir,
         n_speakers=args.speakers,
         seed=args.seed,
         full_size=not args.tiny,
+        decoder_type=args.decoder,
     )
     print(json.dumps({"voice_dir": str(path)}))
     return 0

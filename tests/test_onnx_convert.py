@@ -141,6 +141,45 @@ def test_onnx_checkpoint_end_to_end(tmp_path):
     np.testing.assert_allclose(got, ref, atol=5e-5)
 
 
+def test_convert_cli(tmp_path):
+    """mimic3-convert CLI converts a voice dir's generator.onnx."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    voice_dir = tmp_path / "en_XX" / "conv_low"
+    voice_dir.mkdir(parents=True)
+    tensors = {
+        "enc_p.emb.weight": np.random.randn(10, 8).astype(np.float32),
+        "dec.conv_pre.weight": np.random.randn(16, 8, 7).astype(
+            np.float32
+        ),
+        "dec.conv_pre.bias": np.random.randn(16).astype(np.float32),
+    }
+    onnx_writer.write_onnx(str(voice_dir / "generator.onnx"), tensors)
+
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "mimic3_tpu.runtime.convert",
+            str(voice_dir),
+        ],
+        capture_output=True,
+        timeout=60,
+        cwd=Path(__file__).parent.parent,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+    )
+    assert result.returncode == 0, result.stderr.decode()[-1500:]
+    info = json.loads(result.stdout)
+    assert info["tensors"] == 3
+    npz = voice_dir / "generator.npz"
+    assert npz.is_file()
+    tree = load_pytree_npz(npz)
+    # conv weight transposed into [K, Cin, Cout]
+    assert tree["dec"]["conv_pre"]["weight"].shape == (7, 8, 16)
+    assert tree["enc_p"]["emb"]["weight"].shape == (10, 8)
+
+
 def test_state_dict_conversion_parity_vs_parametrized():
     """Old-style (weight_g/weight_v) and new-style (parametrizations)
     state dicts must convert identically."""

@@ -206,14 +206,16 @@ def resblock1_fused(
     weight norm must already be folded).  Falls back to the plain XLA
     resblock when the time length has no aligned tile size (checked up
     front — other errors propagate)."""
+    from ..models.vits.layers import fold_weight_norm
+
     if aligned_tile(x.shape[1]) is None:
         from ..models.vits.hifigan import resblock1
 
         return resblock1(params, x, kernel_size, dilations)
     for j, d in enumerate(dilations):
         sj = str(j)
-        p1 = params["convs1"][sj]
-        p2 = params["convs2"][sj]
+        p1 = fold_weight_norm(params["convs1"][sj])
+        p2 = fold_weight_norm(params["convs2"][sj])
         x = fused_resblock_subblock(
             x,
             p1["weight"],

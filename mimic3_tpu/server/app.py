@@ -71,6 +71,35 @@ def _to_bool(s: str) -> bool:
     return (s or "").strip().lower() in {"true", "1", "yes", "on"}
 
 
+def _streaming_wav_header_bytes(
+    rate: int, channels: int, width: int
+) -> bytes:
+    """Unknown-length WAV header (RIFF/data sizes maxed — the streaming
+    convention players accept)."""
+    import struct
+
+    byte_rate = rate * channels * width
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 0xFFFFFFFF),
+            b"WAVEfmt ",
+            struct.pack(
+                "<IHHIIHH",
+                16,
+                1,
+                channels,
+                rate,
+                byte_rate,
+                channels * width,
+                width * 8,
+            ),
+            b"data",
+            struct.pack("<I", 0xFFFFFFFF - 44),
+        ]
+    )
+
+
 class TtsApp:
     """Server state: engine pool, scheduler, WAV cache."""
 
@@ -208,13 +237,73 @@ class TtsApp:
             cached.write_bytes(wav_bytes)
         return wav_bytes
 
+    def _stream_low_latency_blocking(self, params: TtsParams, put):
+        """Sub-sentence streaming: windowed chunked decode per sentence.
+
+        Uses a fixed gain instead of per-sentence peak normalization (a
+        stream can't know the final peak), so byte output differs from
+        the buffered path — that's the documented trade of
+        streamingMode=low-latency."""
+        import numpy as np
+
+        engine = self._thread_engine()
+        engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
+        voice = engine._get_or_load_voice(engine.voice)
+        inference = voice.config.inference
+        noise_scale = (
+            params.noise_scale
+            if params.noise_scale is not None
+            else inference.noise_scale
+        )
+        noise_w = (
+            params.noise_w
+            if params.noise_w is not None
+            else inference.noise_w
+        )
+        length_scale = (
+            params.length_scale
+            if params.length_scale is not None
+            else inference.length_scale
+        )
+        if self.config.deterministic:
+            noise_scale, noise_w = 0.0, 0.0
+
+        fixed_gain = 32767.0 * 0.7  # headroom in place of peak norm
+
+        first = True
+        for sent_phonemes, _bt in voice.text_to_phonemes(
+            params.text, text_language=params.text_language
+        ):
+            ids = voice.phonemes_to_ids(sent_phonemes)
+            if not ids:
+                continue
+            for chunk in voice.session.synthesize_ids_chunked(
+                ids,
+                length_scale=float(length_scale),
+                noise_scale=float(noise_scale),
+                noise_w=float(noise_w),
+            ):
+                if first:
+                    rate = voice.config.audio.sample_rate
+                    if not put(_streaming_wav_header_bytes(rate, 1, 2)):
+                        return
+                    first = False
+                pcm = np.clip(
+                    chunk * fixed_gain, -32767, 32767
+                ).astype(np.int16)
+                if not put(pcm.tobytes()):
+                    return
+        if first:
+            put(_streaming_wav_header_bytes(22050, 1, 2))
+
     async def stream_wav(
-        self, params: TtsParams
+        self, params: TtsParams, low_latency: bool = False
     ) -> typing.AsyncIterator[bytes]:
         """Chunked WAV: the header goes out with the FIRST synthesized
         sentence; later sentences stream as raw PCM.  First-chunk latency
-        is one sentence's synthesis, not the whole document's."""
-        import struct
+        is one sentence's synthesis, not the whole document's.
+        ``low_latency`` streams windowed decode chunks WITHIN sentences
+        (fixed gain instead of per-sentence peak normalization)."""
         import threading
 
         from ..api import AudioResult
@@ -240,6 +329,9 @@ class TtsApp:
         def produce() -> None:
             first = True
             try:
+                if low_latency:
+                    self._stream_low_latency_blocking(params, put)
+                    return
                 for result in self._results_blocking(params):
                     if cancelled.is_set():
                         return  # client went away: stop synthesizing
@@ -247,7 +339,7 @@ class TtsApp:
                         continue
                     if first:
                         if not put(
-                            _streaming_wav_header(
+                            _streaming_wav_header_bytes(
                                 result.sample_rate_hz,
                                 result.num_channels,
                                 result.sample_width_bytes,
@@ -258,7 +350,7 @@ class TtsApp:
                     if not put(result.audio_bytes):
                         return
                 if first:  # no audio at all: still emit a valid header
-                    put(_streaming_wav_header(22050, 1, 2))
+                    put(_streaming_wav_header_bytes(22050, 1, 2))
             except Exception:
                 _LOGGER.exception("Streaming synthesis failed")
             finally:
@@ -283,32 +375,6 @@ class TtsApp:
                     queue.put_nowait(None)
                 except asyncio.QueueFull:
                     pass
-
-        def _streaming_wav_header(
-            rate: int, channels: int, width: int
-        ) -> bytes:
-            # unknown-length WAV: RIFF/data sizes set to the max value,
-            # the streaming convention players accept
-            byte_rate = rate * channels * width
-            return b"".join(
-                [
-                    b"RIFF",
-                    struct.pack("<I", 0xFFFFFFFF),
-                    b"WAVEfmt ",
-                    struct.pack(
-                        "<IHHIIHH",
-                        16,
-                        1,
-                        channels,
-                        rate,
-                        byte_rate,
-                        channels * width,
-                        width * 8,
-                    ),
-                    b"data",
-                    struct.pack("<I", 0xFFFFFFFF - 44),
-                ]
-            )
 
         self._executor.submit(produce)
         try:
@@ -372,9 +438,15 @@ def build_server(app: TtsApp) -> HttpServer:
         )
 
         if _to_bool(request.arg("streaming", "")):
-            # chunked WAV, first sentence out as soon as it's ready
+            # chunked WAV, first sentence out as soon as it's ready;
+            # streamingMode=low-latency streams WITHIN sentences too
+            low_latency = (
+                (request.arg("streamingMode", "") or "").lower()
+                == "low-latency"
+                and not params.ssml  # SSML needs the full engine path
+            )
             return HttpResponse(
-                stream=app.stream_wav(params),
+                stream=app.stream_wav(params, low_latency=low_latency),
                 content_type="audio/wav",
             )
 

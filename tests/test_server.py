@@ -251,6 +251,27 @@ def test_oversized_body_413(server):
     assert "413" in response.splitlines()[0]
 
 
+def test_tts_streaming_low_latency(server):
+    """streamingMode=low-latency streams sub-sentence decode chunks."""
+    query = urllib.parse.urlencode(
+        {"text": "a rather long sentence with quite a few words in it",
+         "voice": "en_US/test_low", "streaming": "true",
+         "streamingMode": "low-latency"}
+    )
+    req = urllib.request.Request(f"{BASE}/api/tts?{query}")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers.get("Transfer-Encoding") == "chunked"
+        blob = r.read()
+    assert blob[:4] == b"RIFF"
+    import numpy as np
+
+    pcm = np.frombuffer(blob[44:][: (len(blob) - 44) // 2 * 2], np.int16)
+    assert len(pcm) > 1000
+    assert np.abs(pcm.astype(np.int32)).max() > 0
+    # fixed gain: never clips to full scale
+    assert np.abs(pcm.astype(np.int32)).max() <= 32767
+
+
 def test_404(server):
     try:
         get("/nope")

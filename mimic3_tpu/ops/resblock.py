@@ -47,14 +47,18 @@ def aligned_tile(
     return tile
 
 
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
 def _subblock_kernel(
-    x_hbm,  # [B, T + 2*halo, C] in HBM (pre-padded)
+    x_hbm,  # [B, T + 2*halo_p, C] in HBM (pre-padded)
     w1_ref,  # [K, C, C] VMEM
     b1_ref,  # [1, C]
     w2_ref,  # [K, C, C]
     b2_ref,  # [1, C]
-    out_ref,  # [TILE, C] VMEM block
-    x_tile,  # scratch VMEM [TILE + 2*halo, C]
+    out_ref,  # [1, TILE, C] VMEM block
+    x_tile,  # scratch VMEM [TILE + 2*halo_p, C]
     sem,
     *,
     tile: int,
@@ -64,53 +68,65 @@ def _subblock_kernel(
     dilation: int,
     seq_len: int,
 ):
+    # Mosaic requires sublane slices aligned to 8: halos are rounded up
+    # and tap shifts use pltpu.roll (wraparound rows land beyond the
+    # consumed region), so every slice below has an aligned start/shape.
+    halo1_p = _round8(halo1)
+    halo2_p = _round8(halo2)
+    halo_p = halo1_p + halo2_p
+
     b = pl.program_id(0)
     i = pl.program_id(1)
-    halo = halo1 + halo2
 
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo_p), :],
         x_tile,
         sem,
     )
     copy.start()
     copy.wait()
 
-    x = x_tile[:]
+    # Mosaic's rotate requires 32-bit data: compute in f32 in-kernel
+    # (the DMA and output stay in the caller's dtype)
+    x = x_tile[:].astype(jnp.float32)
     a = _leaky(x)
 
-    mid = tile + 2 * halo2
+    mid = tile + 2 * halo2_p
+    skew = halo1_p - halo1  # roll offset correction
     acc = jnp.broadcast_to(
         b1_ref[0][None, :], (mid, x.shape[-1])
     ).astype(jnp.float32)
     for j in range(kernel_size):
-        off = j * dilation
+        off = (j * dilation + skew) % a.shape[0]
+        shifted = pltpu.roll(a, a.shape[0] - off, 0)  # == a[v+off]
         acc = acc + jnp.dot(
-            a[off : off + mid],
-            w1_ref[j],
+            shifted[:mid],
+            w1_ref[j].astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
     # conv2 must see ZERO padding outside the sequence (torch semantics);
     # at array edges the halo region would otherwise hold lrelu(bias).
-    pos = i * tile - halo2 + jax.lax.broadcasted_iota(
+    pos = i * tile - halo2_p + jax.lax.broadcasted_iota(
         jnp.int32, (mid, 1), 0
     )
     inside = (pos >= 0) & (pos < seq_len)
-    h = jnp.where(inside, _leaky(acc), 0.0).astype(x.dtype)
+    h = jnp.where(inside, _leaky(acc), 0.0)  # stays f32 for roll
 
+    pad2 = halo2_p - halo2
     acc2 = jnp.broadcast_to(
         b2_ref[0][None, :], (tile, x.shape[-1])
     ).astype(jnp.float32)
     for j in range(kernel_size):
+        off2 = (j + pad2) % h.shape[0]
+        shifted = pltpu.roll(h, h.shape[0] - off2, 0)  # == h[v+off2]
         acc2 = acc2 + jnp.dot(
-            h[j : j + tile],
-            w2_ref[j],
+            shifted[:tile],
+            w2_ref[j].astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
 
-    out_ref[0, :, :] = (
-        x[halo : halo + tile].astype(jnp.float32) + acc2
-    ).astype(out_ref.dtype)
+    x_center = pltpu.roll(x, x.shape[0] - halo_p, 0)[:tile]
+    out_ref[0, :, :] = (x_center + acc2).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -133,13 +149,13 @@ def fused_resblock_subblock(
     batch, t, c = x.shape
     halo1 = dilation * (kernel_size - 1) // 2
     halo2 = (kernel_size - 1) // 2
-    halo = halo1 + halo2
+    halo_p = _round8(halo1) + _round8(halo2)  # sublane-aligned halos
 
     tile = aligned_tile(t, tile)
     if tile is None:
         raise ValueError(f"T={t} has no aligned tile size")
 
-    x_padded = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+    x_padded = jnp.pad(x, ((0, 0), (halo_p, halo_p), (0, 0)))
     dtype = x.dtype
 
     kernel = functools.partial(
@@ -182,7 +198,7 @@ def fused_resblock_subblock(
         ),
         out_shape=jax.ShapeDtypeStruct((batch, t, c), dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * halo, c), dtype),
+            pltpu.VMEM((tile + 2 * halo_p, c), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

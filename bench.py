@@ -40,6 +40,12 @@ def main() -> int:
         help="Sweep speaker ids across the batch (vctk-style config)",
     )
     parser.add_argument(
+        "--decoder",
+        choices=("hifigan", "mb-istft"),
+        default="hifigan",
+        help="Decoder family (mb-istft: the fast decoder for new voices)",
+    )
+    parser.add_argument(
         "--watchdog-sec",
         type=int,
         default=3300,
@@ -91,10 +97,14 @@ def main() -> int:
     if args.multispeaker:
         # en_US/vctk_low dimensions: 109 speakers, gin 256
         config = ModelConfig(
-            num_symbols=130, n_speakers=109, gin_channels=256
+            num_symbols=130, n_speakers=109, gin_channels=256,
+            decoder_type=args.decoder,
         )
     else:
-        config = ModelConfig(num_symbols=130)  # real *_low dims
+        # real *_low dims
+        config = ModelConfig(
+            num_symbols=130, decoder_type=args.decoder
+        )
     model = VitsModel(config, decoder_dtype=jnp.bfloat16)
     params = init_vits_params(jax.random.PRNGKey(0), config)
     params = jax.device_put(params)
@@ -253,9 +263,12 @@ def main() -> int:
     device_throughput = (total_samples / sample_rate) / loop_elapsed
 
     headline = max(throughput, device_throughput)
+    decoder_tag = (
+        "" if args.decoder == "hifigan" else f", {args.decoder} decoder"
+    )
     result = {
         "metric": "batched synthesis throughput (VITS *_low, "
-        f"batch={args.batch}, {args.phonemes} phonemes)",
+        f"batch={args.batch}, {args.phonemes} phonemes{decoder_tag})",
         "value": round(headline, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(headline / 1000.0, 3),

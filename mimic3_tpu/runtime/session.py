@@ -95,6 +95,7 @@ class SessionStats:
     compile_count: int = 0
     last_rtf: float = 0.0
     rtf_history: typing.List[float] = field(default_factory=list)
+    latency_history: typing.List[float] = field(default_factory=list)
 
     def record(self, infer_sec: float, audio_sec: float) -> None:
         self.utterances += 1
@@ -102,12 +103,25 @@ class SessionStats:
         self.audio_sec += audio_sec
         self.last_rtf = infer_sec / audio_sec if audio_sec > 0 else 0.0
         self.rtf_history.append(self.last_rtf)
+        self.latency_history.append(infer_sec)
         if len(self.rtf_history) > 1000:
             del self.rtf_history[:-1000]
+        if len(self.latency_history) > 1000:
+            del self.latency_history[:-1000]
 
     @property
     def mean_rtf(self) -> float:
         return self.infer_sec / self.audio_sec if self.audio_sec else 0.0
+
+    def latency_percentile(self, pct: float) -> float:
+        """Synthesis-call latency percentile over the recent window."""
+        if not self.latency_history:
+            return 0.0
+        ordered = sorted(self.latency_history)
+        idx = min(
+            len(ordered) - 1, int(pct / 100.0 * len(ordered))
+        )
+        return ordered[idx]
 
 
 def pick_bucket(n: int, buckets: typing.Sequence[int]) -> int:

@@ -502,6 +502,12 @@ def build_server(app: TtsApp) -> HttpServer:
                             "mean_rtf": stats.mean_rtf,
                             "last_rtf": stats.last_rtf,
                             "audio_sec": stats.audio_sec,
+                            "latency_p50_ms": round(
+                                stats.latency_percentile(50) * 1000, 1
+                            ),
+                            "latency_p99_ms": round(
+                                stats.latency_percentile(99) * 1000, 1
+                            ),
                         }
                 break
             except RuntimeError:

@@ -394,6 +394,7 @@ class VitsSession:
         chunk_frames: int = 128,
         overlap: int = 64,
         max_frames_cap: int = 32768,
+        first_chunk_frames: typing.Optional[int] = None,
     ) -> typing.Iterator[np.ndarray]:
         """Streaming decode: yield float32 audio in ~chunk_frames pieces.
 
@@ -403,6 +404,11 @@ class VitsSession:
         decoder+flow receptive field (~48 frames) chunks match the
         non-chunked output to float tolerance.  One executable serves all
         chunks (the frame offset is a traced argument).
+
+        ``first_chunk_frames`` (< chunk_frames) shrinks only the first
+        decode window, cutting time-to-first-audio further at the cost
+        of one extra compiled window size; noise is indexed by global
+        frame, so output is seed-stable across grid choices.
 
         Note: audio here is NOT peak-normalized (normalization is
         per-utterance in the batch path; a stream can't know the final
@@ -442,28 +448,34 @@ class VitsSession:
 
         m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
 
-        window = chunk_frames + 2 * overlap
-        n_chunks = max(1, -(-total // chunk_frames))
+        # chunk grid: optional smaller first chunk, then uniform
+        sizes = [min(first_chunk_frames or chunk_frames, chunk_frames)]
+        grid_end = sizes[0]
+        while grid_end < total:
+            sizes.append(chunk_frames)
+            grid_end += chunk_frames
         inter = self.model.hp.inter_channels
         if self.deterministic or noise_scale == 0.0:
             noise_full = np.zeros(
-                (1, n_chunks * chunk_frames + 2 * overlap, inter),
-                np.float32,
+                (1, grid_end + 2 * overlap, inter), np.float32
             )
         else:
+            # row-major randn is prefix-stable in the time axis, so the
+            # noise at global frame f is the same for any grid/length
             noise_rng = np.random.RandomState(
                 seed if seed is not None else self._call_counter
             )
             noise_full = noise_rng.randn(
-                1, n_chunks * chunk_frames + 2 * overlap, inter
+                1, grid_end + 2 * overlap, inter
             ).astype(np.float32)
 
         emitted = 0
-        for ci in range(n_chunks):
-            start = ci * chunk_frames
-            valid = min(chunk_frames, total - start)
+        start = 0
+        for cf in sizes:
+            valid = min(cf, total - start)
             if valid <= 0:
                 break
+            window = cf + 2 * overlap
             # never fabricate left context before frame 0
             left = min(overlap, start)
             off = start - left
@@ -494,6 +506,7 @@ class VitsSession:
                 dtype=np.float32,
             )
             emitted += valid
+            start += cf
             yield chunk
 
         elapsed = time.perf_counter() - start_time

@@ -282,6 +282,9 @@ class TtsApp:
                 length_scale=float(length_scale),
                 noise_scale=float(noise_scale),
                 noise_w=float(noise_w),
+                # small first window: first audio needs a ~32-frame
+                # decode (~0.4 s audio) instead of a 128-frame one
+                first_chunk_frames=32,
             ):
                 if first:
                     rate = voice.config.audio.sample_rate

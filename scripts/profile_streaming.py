@@ -24,6 +24,10 @@ def main() -> int:
         "--tiny", action="store_true",
         help="Tiny model (CPU smoke test of the harness itself)",
     )
+    parser.add_argument(
+        "--first-chunk", type=int, default=None,
+        help="first_chunk_frames for the chunked path (e.g. 32)",
+    )
     args = parser.parse_args()
 
     from mimic3_tpu.runtime.testvoice import create_test_voice
@@ -44,6 +48,9 @@ def main() -> int:
         ).split()
         ids = voice.phonemes_to_ids([list(w) for w in words])
         kw = dict(length_scale=8.0, noise_scale=0.667, noise_w=0.8)
+        ckw = dict(kw)
+        if args.first_chunk:
+            ckw["first_chunk_frames"] = args.first_chunk
 
         t0 = time.perf_counter()
         full = session.synthesize_ids(ids, seed=0, **kw)
@@ -54,7 +61,7 @@ def main() -> int:
         )
         t0 = time.perf_counter()
         chunks = list(
-            session.synthesize_ids_chunked(ids, seed=0, **kw)
+            session.synthesize_ids_chunked(ids, seed=0, **ckw)
         )
         print(
             f"warmup chunked: {time.perf_counter() - t0:.1f}s "
@@ -73,7 +80,7 @@ def main() -> int:
             audio_sec = len(full) / sr
 
             t0 = time.perf_counter()
-            gen = session.synthesize_ids_chunked(ids, seed=i, **kw)
+            gen = session.synthesize_ids_chunked(ids, seed=i, **ckw)
             first = next(gen)
             first_lat.append(time.perf_counter() - t0)
             for _ in gen:

@@ -68,3 +68,41 @@ def test_chunked_with_noise_is_deterministic_per_seed(voice):
 
     a, b = run(), run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_small_first_chunk_matches_uniform_grid(voice):
+    """first_chunk_frames changes the grid, not the audio (same seed)."""
+    ids = voice.phonemes_to_ids(
+        [list(word) for word in "pack my box with five dozen "
+         "liquor jugs".split()]
+    )
+
+    def run(**kw):
+        return list(
+            voice.session.synthesize_ids_chunked(
+                ids, noise_scale=0.5, noise_w=0.0, seed=11,
+                chunk_frames=16, overlap=48, **kw
+            )
+        )
+
+    uniform = run()
+    small_first = run(first_chunk_frames=8)
+    hop = voice.session.model.hp.hop_length
+    assert len(small_first[0]) == 8 * hop  # smaller first chunk
+    a = np.concatenate(uniform)
+    b = np.concatenate(small_first)
+    assert len(a) == len(b)
+    err = np.abs(a - b)
+    assert float(err.max()) < 5e-4, float(err.max())
+
+
+def test_first_chunk_frames_clamped_to_chunk_frames(voice):
+    ids = voice.phonemes_to_ids([list("hello"), list("there")])
+    chunks = list(
+        voice.session.synthesize_ids_chunked(
+            ids, noise_scale=0.0, noise_w=0.0,
+            chunk_frames=16, overlap=32, first_chunk_frames=999,
+        )
+    )
+    hop = voice.session.model.hp.hop_length
+    assert len(chunks[0]) <= 16 * hop

@@ -521,6 +521,7 @@ class VitsSession:
         text_buckets: typing.Optional[typing.Sequence[int]] = None,
         frame_buckets: typing.Optional[typing.Sequence[int]] = None,
         batch_sizes: typing.Sequence[int] = (1,),
+        chunk_windows: typing.Sequence[int] = (),
     ) -> float:
         """Pre-compile executables for the given bucket grid.
 
@@ -549,9 +550,33 @@ class VitsSession:
                         self.params, ids, lengths, durations, rng,
                         jnp.float32(0.667), sid, num_frames=f,
                     )
+        # streaming executables (batch 1): encoder pass + one chunked
+        # decode per window size, so the first low-latency request
+        # doesn't pay XLA compilation either
+        n_chunk_compiles = 0
+        for t in (tb if chunk_windows else ()):
+            ids = jnp.zeros((1, t), jnp.int32)
+            lengths = jnp.full((1,), t, jnp.int32)
+            sid = jnp.zeros((1,), jnp.int32)
+            durations, _ = self._dur_fn(
+                self.params, ids, lengths, rng,
+                jnp.float32(1.0), jnp.float32(0.8), sid,
+            )
+            m_p, logs_p = self._enc_fn(self.params, ids, lengths)
+            inter = self.model.hp.inter_channels
+            for w in chunk_windows:
+                noise = jnp.zeros((1, w, inter), jnp.float32)
+                self._dec_chunk_fn(
+                    self.params, ids, lengths, durations,
+                    jnp.float32(0.667), sid, noise, jnp.int32(0),
+                    m_p, logs_p, num_frames=w,
+                )
+                n_chunk_compiles += 1
+            n_chunk_compiles += 1  # enc_fn
         elapsed = time.perf_counter() - start
-        self.stats.compile_count += len(tb) * (len(fb) + 1) * len(
-            batch_sizes
+        self.stats.compile_count += (
+            len(tb) * (len(fb) + 1) * len(batch_sizes)
+            + n_chunk_compiles
         )
         _LOGGER.info("Warmup compiled %s buckets in %.1fs",
                      self.stats.compile_count, elapsed)

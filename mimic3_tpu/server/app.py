@@ -36,6 +36,16 @@ from .scheduler import BatchScheduler
 
 _LOGGER = logging.getLogger(__name__)
 
+# low-latency streaming decode grid (frames); warmup precompiles the
+# matching windows so the first streaming request pays no XLA compile
+_STREAM_CHUNK_FRAMES = 128
+_STREAM_OVERLAP = 64
+_STREAM_FIRST_CHUNK_FRAMES = 32
+_STREAM_WINDOWS = (
+    _STREAM_FIRST_CHUNK_FRAMES + 2 * _STREAM_OVERLAP,
+    _STREAM_CHUNK_FRAMES + 2 * _STREAM_OVERLAP,
+)
+
 _TEMPLATE_DIR = Path(__file__).parent / "templates"
 
 
@@ -151,7 +161,8 @@ class TtsApp:
                 voice.session.warmup(
                     batch_sizes=sorted(
                         {1, self.config.max_batch}
-                    )
+                    ),
+                    chunk_windows=_STREAM_WINDOWS,
                 )
 
     # -- synthesis ----------------------------------------------------------------
@@ -282,9 +293,11 @@ class TtsApp:
                 length_scale=float(length_scale),
                 noise_scale=float(noise_scale),
                 noise_w=float(noise_w),
+                chunk_frames=_STREAM_CHUNK_FRAMES,
+                overlap=_STREAM_OVERLAP,
                 # small first window: first audio needs a ~32-frame
                 # decode (~0.4 s audio) instead of a 128-frame one
-                first_chunk_frames=32,
+                first_chunk_frames=_STREAM_FIRST_CHUNK_FRAMES,
             ):
                 if first:
                     rate = voice.config.audio.sample_rate

@@ -120,3 +120,24 @@ def test_shared_sessions(voice_dir):
     assert v1.session is v2.session
     v3 = TpuVoice.load_from_directory(voice_dir, share_sessions=False)
     assert v3.session is not v1.session
+
+
+def test_warmup_precompiles_chunk_windows(voice):
+    """warmup(chunk_windows=...) compiles the streaming executables so
+    the first low-latency request pays no XLA compile."""
+    session = voice.session
+    before = session.stats.compile_count
+    session.warmup(
+        text_buckets=(32,), frame_buckets=(64,), chunk_windows=(24, 48)
+    )
+    # 1 dur + 1 dec + (enc + 2 chunk windows) = 5 executables
+    assert session.stats.compile_count - before == 5
+    # streaming through the warmed path still works
+    ids = voice.phonemes_to_ids([list("warm"), list("boot")])
+    chunks = list(
+        session.synthesize_ids_chunked(
+            ids, noise_scale=0.0, noise_w=0.0,
+            chunk_frames=16, overlap=4, first_chunk_frames=8,
+        )
+    )
+    assert chunks and all(len(c) > 0 for c in chunks)

@@ -184,8 +184,14 @@ def batches(
             spec_lengths = np.array(
                 [len(a) // hop for a in audios], np.int32
             )
-            t_bucket = pick_bucket(int(text_lengths.max()), text_buckets)
-            f_bucket = pick_bucket(int(spec_lengths.max()), frame_buckets)
+            # training is offline: growing past the configured ladder
+            # (one extra compile) beats truncating a long clip
+            t_bucket = pick_bucket(
+                int(text_lengths.max()), text_buckets, grow=True
+            )
+            f_bucket = pick_bucket(
+                int(spec_lengths.max()), frame_buckets, grow=True
+            )
 
             ids = np.zeros((batch_size, t_bucket), np.int32)
             audio_arr = np.zeros(

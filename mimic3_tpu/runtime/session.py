@@ -87,7 +87,11 @@ def enable_compilation_cache() -> None:
 
 @dataclass
 class SessionStats:
-    """Rolling synthesis statistics (RTF = infer_sec / audio_sec)."""
+    """Rolling synthesis statistics (RTF = infer_sec / audio_sec).
+
+    Recorded from scheduler and direct-caller threads and read by
+    /api/stats; all mutation and history reads go through ``_lock``.
+    """
 
     utterances: int = 0
     infer_sec: float = 0.0
@@ -96,18 +100,24 @@ class SessionStats:
     last_rtf: float = 0.0
     rtf_history: typing.List[float] = field(default_factory=list)
     latency_history: typing.List[float] = field(default_factory=list)
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def record(self, infer_sec: float, audio_sec: float) -> None:
-        self.utterances += 1
-        self.infer_sec += infer_sec
-        self.audio_sec += audio_sec
-        self.last_rtf = infer_sec / audio_sec if audio_sec > 0 else 0.0
-        self.rtf_history.append(self.last_rtf)
-        self.latency_history.append(infer_sec)
-        if len(self.rtf_history) > 1000:
-            del self.rtf_history[:-1000]
-        if len(self.latency_history) > 1000:
-            del self.latency_history[:-1000]
+        with self._lock:
+            self.utterances += 1
+            self.infer_sec += infer_sec
+            self.audio_sec += audio_sec
+            self.last_rtf = (
+                infer_sec / audio_sec if audio_sec > 0 else 0.0
+            )
+            self.rtf_history.append(self.last_rtf)
+            self.latency_history.append(infer_sec)
+            if len(self.rtf_history) > 1000:
+                del self.rtf_history[:-1000]
+            if len(self.latency_history) > 1000:
+                del self.latency_history[:-1000]
 
     @property
     def mean_rtf(self) -> float:
@@ -115,20 +125,33 @@ class SessionStats:
 
     def latency_percentile(self, pct: float) -> float:
         """Synthesis-call latency percentile over the recent window."""
-        if not self.latency_history:
+        with self._lock:
+            ordered = sorted(self.latency_history)
+        if not ordered:
             return 0.0
-        ordered = sorted(self.latency_history)
         idx = min(
             len(ordered) - 1, int(pct / 100.0 * len(ordered))
         )
         return ordered[idx]
 
 
-def pick_bucket(n: int, buckets: typing.Sequence[int]) -> int:
-    """Smallest bucket >= n; grows geometrically past the largest."""
+def pick_bucket(
+    n: int, buckets: typing.Sequence[int], grow: bool = False
+) -> int:
+    """Smallest bucket >= n.
+
+    By default inputs past the largest bucket are CLAMPED to it (the
+    caller truncates): the serving hot path must never trigger a fresh
+    XLA compile — through this environment's remote-compile tunnel one
+    executable costs minutes (SURVEY.md §7 static-shape discipline).
+    Pass ``grow=True`` to instead extend the ladder geometrically
+    (offline/bench use, where a compile is acceptable).
+    """
     idx = bisect.bisect_left(buckets, n)
     if idx < len(buckets):
         return buckets[idx]
+    if not grow:
+        return buckets[-1]
     cap = buckets[-1]
     while cap < n:
         cap *= 2
@@ -148,6 +171,7 @@ class VitsSession:
         *,
         deterministic: bool = False,
         seed: int = 0,
+        allow_bucket_growth: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -171,6 +195,9 @@ class VitsSession:
         self.params = jax.tree_util.tree_map(jnp.asarray, dict(params))
         self.text_buckets = tuple(config.tpu.text_buckets)
         self.frame_buckets = tuple(config.tpu.frame_buckets)
+        # False (serving default): inputs past the largest bucket are
+        # truncated so the request path can never trigger an XLA compile
+        self.allow_bucket_growth = allow_bucket_growth
         self.stats = SessionStats()
         self._base_key = jax.random.PRNGKey(seed)
         self._call_counter = 0
@@ -274,8 +301,26 @@ class VitsSession:
 
         start = time.perf_counter()
         batch = len(id_sequences)
+        max_text = self.text_buckets[-1]
+        if not self.allow_bucket_growth and any(
+            len(s) > max_text for s in id_sequences
+        ):
+            # never compile on the request path: clamp to the largest
+            # warmed bucket (segmentation makes >512-phoneme sentences
+            # pathological inputs, not real speech)
+            _LOGGER.warning(
+                "Truncating %d phoneme sequence(s) to the largest "
+                "warmed text bucket (%d)",
+                sum(1 for s in id_sequences if len(s) > max_text),
+                max_text,
+            )
+            id_sequences = [list(s)[:max_text] for s in id_sequences]
         lengths = np.array([len(s) for s in id_sequences], np.int32)
-        t_bucket = pick_bucket(int(lengths.max()), self.text_buckets)
+        t_bucket = pick_bucket(
+            int(lengths.max()),
+            self.text_buckets,
+            grow=self.allow_bucket_growth,
+        )
         ids = np.zeros((batch, t_bucket), np.int32)
         for i, seq in enumerate(id_sequences):
             ids[i, : len(seq)] = np.asarray(seq, np.int32)
@@ -301,6 +346,8 @@ class VitsSession:
         )
         totals_np = np.asarray(totals)  # host sync (tiny transfer)
         needed = int(totals_np.max())
+        if not self.allow_bucket_growth:
+            max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
         if needed > max_frames_cap:
             _LOGGER.warning(
                 "Output of %d frames exceeds cap %d; truncating",
@@ -316,7 +363,9 @@ class VitsSession:
                 [cum[:, :1], np.diff(cum, axis=1)], axis=1
             )
             durations = jnp.asarray(dur_np)
-        f_bucket = pick_bucket(needed, self.frame_buckets)
+        f_bucket = pick_bucket(
+            needed, self.frame_buckets, grow=self.allow_bucket_growth
+        )
 
         audio, sample_lengths = self._dec_fn(
             self.params,
@@ -418,8 +467,24 @@ class VitsSession:
 
         start_time = time.perf_counter()
         hop = self.model.hp.hop_length
+        max_text = self.text_buckets[-1]
+        if (
+            not self.allow_bucket_growth
+            and len(phoneme_ids) > max_text
+        ):
+            _LOGGER.warning(
+                "Truncating %d-phoneme stream input to the largest "
+                "warmed text bucket (%d)",
+                len(phoneme_ids),
+                max_text,
+            )
+            phoneme_ids = list(phoneme_ids)[:max_text]
         lengths = np.array([len(phoneme_ids)], np.int32)
-        t_bucket = pick_bucket(int(lengths[0]), self.text_buckets)
+        t_bucket = pick_bucket(
+            int(lengths[0]),
+            self.text_buckets,
+            grow=self.allow_bucket_growth,
+        )
         ids = np.zeros((1, t_bucket), np.int32)
         ids[0, : len(phoneme_ids)] = np.asarray(phoneme_ids, np.int32)
         sid = np.array([speaker_id or 0], np.int32)
@@ -434,6 +499,8 @@ class VitsSession:
             jnp.float32(length_scale), jnp.float32(noise_w), sid_j,
         )
         total = int(np.asarray(totals)[0])
+        if not self.allow_bucket_growth:
+            max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
         if total > max_frames_cap:
             _LOGGER.warning(
                 "Chunked output of %d frames exceeds cap %d; truncating",

@@ -23,6 +23,9 @@ class ServerConfig:
     host: str = "0.0.0.0"
     port: int = 59125
     voice: typing.Optional[str] = None
+    speaker: typing.Optional[str] = None
+    default_voice: typing.Optional[str] = None
+    show_openapi: bool = True
     voices_dir: typing.Optional[typing.List[str]] = None
     preload_voice: typing.List[str] = field(default_factory=list)
     length_scale: typing.Optional[float] = None
@@ -48,6 +51,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=59125)
     parser.add_argument("--voice", help="Default voice")
+    parser.add_argument(
+        "--speaker",
+        help="Default speaker (name or id) appended to the default "
+        "voice when it has no #speaker suffix "
+        "(reference: mimic3_http/args.py:42-44)",
+    )
+    parser.add_argument(
+        "--default-voice",
+        help="Default voice key to select in the web interface "
+        "(reference: mimic3_http/args.py:91-94)",
+    )
+    parser.add_argument(
+        "--no-show-openapi",
+        action="store_true",
+        help="Don't show the OpenAPI link in the web interface "
+        "(reference: mimic3_http/args.py:98-100)",
+    )
+    parser.add_argument(
+        "--version",
+        action="store_true",
+        help="Print version to console and exit",
+    )
     parser.add_argument(
         "--voices-dir", action="append", help="Extra voice directories"
     )
@@ -108,10 +133,18 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
     else:
         cache_dir = args.cache_dir
 
+    voice = args.voice
+    if voice and args.speaker is not None and "#" not in voice:
+        # ref semantics: default speaker rides on the default voice
+        voice = f"{voice}#{args.speaker}"
+
     return ServerConfig(
         host=args.host,
         port=args.port,
-        voice=args.voice,
+        voice=voice,
+        speaker=args.speaker,
+        default_voice=args.default_voice,
+        show_openapi=not args.no_show_openapi,
         voices_dir=args.voices_dir,
         preload_voice=args.preload_voice,
         length_scale=args.length_scale,
@@ -131,6 +164,11 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
 
 def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.version:
+        from .. import __version__
+
+        print(__version__)
+        return 0
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO
     )

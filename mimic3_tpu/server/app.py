@@ -69,10 +69,14 @@ class TtsParams:
             # client-supplied id: restrict to a safe charset so it can
             # never traverse out of the cache directory (the reference
             # uses it verbatim — mimic3_http/const.py:35-40 — which is a
-            # path traversal)
-            safe = re.sub(r"[^A-Za-z0-9._-]", "_", self.cache_id)[:128]
-            if safe.strip("._"):
-                return safe
+            # path traversal), plus a hash of the raw id so two distinct
+            # ids that sanitize identically never share a cache file
+            safe = re.sub(r"[^A-Za-z0-9._-]", "_", self.cache_id)[:96]
+            digest = hashlib.sha256(
+                self.cache_id.encode("utf-8")
+            ).hexdigest()[:16]
+            safe = safe.strip("._")
+            return f"{safe}_{digest}" if safe else digest
         blob = repr(dataclasses.astuple(self)).encode("utf-8")
         return hashlib.md5(blob).hexdigest()
 
@@ -123,8 +127,15 @@ class TtsApp:
             max_workers=config.num_workers,
             thread_name_prefix="tts-worker",
         )
+        import threading
+
         self._engines: typing.List[Mimic3TextToSpeechSystem] = []
-        self._engine_local = __import__("threading").local()
+        self._engine_local = threading.local()
+        # voice sessions wired to the scheduler, keyed by voice key;
+        # guarded by a lock so /api/stats reads a consistent snapshot
+        # while worker threads load voices
+        self._voices_lock = threading.Lock()
+        self._voice_sessions: typing.Dict[str, typing.Any] = {}
         self.cache_dir: typing.Optional[Path] = (
             Path(config.cache_dir) if config.cache_dir else None
         )
@@ -152,11 +163,24 @@ class TtsApp:
             self._engine_local.engine = engine
         return engine
 
+    def _wire_session(self, key: str, voice) -> None:
+        """Attach the voice's session to the scheduler and register it
+        for /api/stats (idempotent, thread-safe)."""
+        if voice.session.batcher is None:
+            voice.session.batcher = self.scheduler
+        base_key = key.split("#", 1)[0]
+        with self._voices_lock:
+            self._voice_sessions.setdefault(base_key, voice.session)
+
+    def voice_stats_snapshot(self) -> typing.Dict[str, typing.Any]:
+        with self._voices_lock:
+            return dict(self._voice_sessions)
+
     def preload(self) -> None:
         for key in self.config.preload_voice or []:
             _LOGGER.info("Preloading voice %s", key)
             voice = self._catalog._get_or_load_voice(key)
-            voice.session.batcher = self.scheduler
+            self._wire_session(key, voice)
             if self.config.warmup:
                 voice.session.warmup(
                     batch_sizes=sorted(
@@ -189,8 +213,7 @@ class TtsApp:
 
         # make sure this voice's session is wired to the scheduler
         voice = engine._get_or_load_voice(engine.voice)
-        if voice.session.batcher is None:
-            voice.session.batcher = self.scheduler
+        self._wire_session(engine.voice, voice)
 
         if params.ssml:
             from ..ssml import SSMLSpeaker
@@ -260,6 +283,7 @@ class TtsApp:
         engine = self._thread_engine()
         engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
         voice = engine._get_or_load_voice(engine.voice)
+        self._wire_session(engine.voice, voice)
         inference = voice.config.inference
         noise_scale = (
             params.noise_scale
@@ -504,31 +528,20 @@ def build_server(app: TtsApp) -> HttpServer:
     async def api_stats(request: Request):
         """Serving metrics (mimic3-tpu extension): batch sizes, RTF."""
         sessions = {}
-        # worker threads may be loading voices concurrently; retry the
-        # snapshot if a dict changes size mid-copy
-        for _attempt in range(3):
-            try:
-                for engine in list(app._engines):
-                    for key, voice in list(
-                        engine._loaded_voices.items()
-                    ):
-                        stats = voice.session.stats
-                        sessions[key] = {
-                            "utterances": stats.utterances,
-                            "mean_rtf": stats.mean_rtf,
-                            "last_rtf": stats.last_rtf,
-                            "audio_sec": stats.audio_sec,
-                            "latency_p50_ms": round(
-                                stats.latency_percentile(50) * 1000, 1
-                            ),
-                            "latency_p99_ms": round(
-                                stats.latency_percentile(99) * 1000, 1
-                            ),
-                        }
-                break
-            except RuntimeError:
-                sessions.clear()
-                continue
+        for key, session in app.voice_stats_snapshot().items():
+            stats = session.stats
+            sessions[key] = {
+                "utterances": stats.utterances,
+                "mean_rtf": stats.mean_rtf,
+                "last_rtf": stats.last_rtf,
+                "audio_sec": stats.audio_sec,
+                "latency_p50_ms": round(
+                    stats.latency_percentile(50) * 1000, 1
+                ),
+                "latency_p99_ms": round(
+                    stats.latency_percentile(99) * 1000, 1
+                ),
+            }
         payload = {
             "scheduler": {
                 "batches": app.scheduler.stats.batches,
@@ -585,8 +598,19 @@ def build_server(app: TtsApp) -> HttpServer:
     async def index(request: Request):
         html = (_TEMPLATE_DIR / "index.html").read_text("utf-8")
         html = html.replace(
-            "__DEFAULT_VOICE__", config.voice or DEFAULT_VOICE
+            "__DEFAULT_VOICE__",
+            getattr(config, "default_voice", None)
+            or config.voice
+            or DEFAULT_VOICE,
         )
+        if not getattr(config, "show_openapi", True):
+            # --no-show-openapi (reference: mimic3_http/args.py:98-100)
+            html = re.sub(
+                r"<!--OPENAPI_LINK-->.*?<!--/OPENAPI_LINK-->",
+                "",
+                html,
+                flags=re.S,
+            )
         return HttpResponse(
             body=html.encode(), content_type="text/html; charset=utf-8"
         )

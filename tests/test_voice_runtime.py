@@ -23,8 +23,12 @@ def test_pick_bucket():
     assert pick_bucket(5, (32, 64)) == 32
     assert pick_bucket(32, (32, 64)) == 32
     assert pick_bucket(33, (32, 64)) == 64
-    assert pick_bucket(65, (32, 64)) == 128  # geometric growth past max
-    assert pick_bucket(200, (32, 64)) == 256
+    # serving default: clamp at the largest warmed bucket (no compile
+    # on the request path); grow=True restores the geometric ladder
+    assert pick_bucket(65, (32, 64)) == 64
+    assert pick_bucket(200, (32, 64)) == 64
+    assert pick_bucket(65, (32, 64), grow=True) == 128
+    assert pick_bucket(200, (32, 64), grow=True) == 256
 
 
 def test_voice_loads(voice):
@@ -120,6 +124,30 @@ def test_shared_sessions(voice_dir):
     assert v1.session is v2.session
     v3 = TpuVoice.load_from_directory(voice_dir, share_sessions=False)
     assert v3.session is not v1.session
+
+
+def test_no_compile_on_oversized_request(voice_dir):
+    """A pathological 10k-phoneme input must reuse the largest warmed
+    executable (truncate + warn), never trigger a fresh XLA compile."""
+    v = TpuVoice.load_from_directory(voice_dir, share_sessions=False)
+    session = v.session
+    session.text_buckets = (16, 32)
+    session.frame_buckets = (64, 128)
+    assert not session.allow_bucket_growth  # serving default
+
+    # warm the largest buckets
+    session.warmup(batch_sizes=(1,))
+    dur_compiled = session._dur_fn._cache_size()
+    dec_compiled = session._dec_fn._cache_size()
+
+    audio = session.synthesize_ids(
+        list(np.tile(np.arange(2, 10), 1250)),  # 10k phonemes
+        noise_scale=0.0,
+        noise_w=0.0,
+    )
+    assert len(audio) > 0
+    assert session._dur_fn._cache_size() == dur_compiled
+    assert session._dec_fn._cache_size() == dec_compiled
 
 
 def test_warmup_precompiles_chunk_windows(voice):

@@ -19,11 +19,14 @@ loads.
 from __future__ import annotations
 
 import json
+import logging
 import re
 import typing
 from pathlib import Path
 
 import numpy as np
+
+_LOGGER = logging.getLogger(__name__)
 
 Pytree = typing.Dict[str, typing.Any]
 
@@ -161,19 +164,472 @@ def load_pytree_npz(path: typing.Union[str, Path]) -> Pytree:
 
 
 # ---------------------------------------------------------------------------
+# Name recovery for real torch.onnx.export artifacts
+# ---------------------------------------------------------------------------
+#
+# Real exports (reference: mimic3_tts/voice.py:403-405 runs such a file)
+# constant-fold the weight-norm parametrizations, which ANONYMIZES those
+# initializers ("onnx::Conv_123"-style names).  Recovery uses, in order:
+#   1. dotted names that suffix-match the expected parameter set,
+#   2. the consuming node's scoped name ("/dec/ups.0/ConvTranspose",
+#      torch >= 1.13 exports),
+#   3. shape + execution-order matching against the expected inference
+#      execution order (older exports with bare "Conv_123" node names).
+# ElementwiseAffine constants are folded as (m, exp(-logs)) Sub/Mul
+# constants and are inverted back.
+
+# ops whose initializer inputs are parameters: input position -> leaf
+_PARAM_POSITIONS: typing.Dict[str, typing.Dict[int, str]] = {
+    "Conv": {1: "weight", 2: "bias"},
+    "ConvTranspose": {1: "weight", 2: "bias"},
+    "Gemm": {1: "weight", 2: "bias"},
+    "Gather": {0: "weight"},
+    "LayerNormalization": {1: "gamma", 2: "beta"},
+}
+
+# VITS structural constants (arXiv 2106.06103; reference config.py:113-143
+# exposes no knobs for these)
+_N_COUPLING_FLOWS = 4
+_COUPLING_WN_LAYERS = 4
+_N_DP_FLOWS = 4
+_DDS_LAYERS = 3
+
+
+def _torch_shape(
+    name: str, shape: typing.Sequence[int]
+) -> typing.Tuple[int, ...]:
+    """Our-layout parameter shape -> the torch/ONNX layout shape."""
+    leaf = name.split(".")[-1]
+    if leaf == "weight" and len(shape) == 3:
+        k, cin, cout = shape
+        if _TRANSPOSED_RE.search(name):
+            return (cin, cout, k)
+        return (cout, cin, k)
+    if leaf in _SQUEEZE_KEYS and len(shape) == 1:
+        return (shape[0], 1)
+    return tuple(shape)
+
+
+def expected_params_from_config(
+    model_config,
+) -> typing.Dict[str, typing.Tuple[int, ...]]:
+    """Expected {dotted_name: torch_layout_shape}, weight-norm folded."""
+    import jax
+
+    from ..models.vits import init_vits_params
+
+    flat = flatten_pytree(
+        init_vits_params(jax.random.PRNGKey(0), model_config)
+    )
+    out: typing.Dict[str, typing.Tuple[int, ...]] = {}
+    for name, arr in flat.items():
+        if name.endswith(".weight_g"):
+            continue
+        if name.endswith(".weight_v"):
+            name = name[: -len(".weight_v")] + ".weight"
+        out[name] = _torch_shape(name, arr.shape)
+    return out
+
+
+def _dds_order(base: str) -> typing.List[str]:
+    out = []
+    for i in range(_DDS_LAYERS):
+        out += [
+            f"{base}.convs_sep.{i}",
+            f"{base}.norms_1.{i}",
+            f"{base}.convs_1x1.{i}",
+            f"{base}.norms_2.{i}",
+        ]
+    return out
+
+
+def expected_execution_order(model_config) -> typing.List[str]:
+    """Module paths in INFERENCE execution order.
+
+    This is the order a traced ``torch.onnx.export`` of the synthesis
+    graph lays its nodes out in; flow stacks run in reverse module order
+    at synthesis, and the first ConvFlow of the duration predictor is
+    dead (``flows[:-2] + [flows[-1]]``) so it never appears.
+    """
+    cfg = model_config
+    ms = bool(getattr(cfg, "is_multispeaker", False))
+    order: typing.List[str] = []
+    if ms:
+        order.append("emb_g")
+    order.append("enc_p.emb")
+    for i in range(cfg.n_layers):
+        a = f"enc_p.attn_layers.{i}"
+        order += [
+            f"{a}.conv_q",
+            f"{a}.conv_k",
+            f"{a}.conv_v",
+            f"{a}.emb_rel_k",
+            f"{a}.emb_rel_v",
+            f"{a}.conv_o",
+            f"enc_p.norm_layers_1.{i}",
+            f"enc_p.ffn_layers.{i}.conv_1",
+            f"enc_p.ffn_layers.{i}.conv_2",
+            f"enc_p.norm_layers_2.{i}",
+        ]
+    order.append("enc_p.proj")
+
+    # stochastic duration predictor, reverse pass
+    order.append("dp.pre")
+    if ms:
+        order.append("dp.cond")
+    order += _dds_order("dp.convs")
+    order.append("dp.proj")
+    conv_flows = [1 + 2 * k for k in range(_N_DP_FLOWS)]
+    for f in list(reversed(conv_flows))[:-1]:  # first ConvFlow is dead
+        order += (
+            [f"dp.flows.{f}.pre"]
+            + _dds_order(f"dp.flows.{f}.convs")
+            + [f"dp.flows.{f}.proj"]
+        )
+    order.append("dp.flows.0")  # ElementwiseAffine
+
+    # residual coupling flow, reverse order
+    for f in reversed(range(0, 2 * _N_COUPLING_FLOWS, 2)):
+        base = f"flow.flows.{f}"
+        order.append(f"{base}.pre")
+        if ms:
+            order.append(f"{base}.enc.cond_layer")
+        for j in range(_COUPLING_WN_LAYERS):
+            order += [
+                f"{base}.enc.in_layers.{j}",
+                f"{base}.enc.res_skip_layers.{j}",
+            ]
+        order.append(f"{base}.post")
+
+    # HiFi-GAN decoder
+    order.append("dec.conv_pre")
+    if ms:
+        order.append("dec.cond")
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        order.append(f"dec.ups.{i}")
+        for j in range(nk):
+            rb = i * nk + j
+            for layer in range(len(cfg.resblock_dilation_sizes[j])):
+                order += [
+                    f"dec.resblocks.{rb}.convs1.{layer}",
+                    f"dec.resblocks.{rb}.convs2.{layer}",
+                ]
+    order.append("dec.conv_post")
+    return order
+
+
+def _suffix_match(
+    name: str, expected: typing.Mapping[str, typing.Any]
+) -> typing.Optional[str]:
+    """Match a (possibly prefixed) dotted name into the expected set.
+
+    Tries stripping leading segments ("net.enc_p.emb.weight" ->
+    "enc_p.emb.weight"); failing that, accepts the name as a UNIQUE tail
+    of an expected name — traced method calls (dp.reverse) lose their
+    owner's scope, so "/flows.7/pre/Conv" means "dp.flows.7.pre".
+    """
+    parts = name.split(".")
+    for i in range(len(parts)):
+        cand = ".".join(parts[i:])
+        if cand in expected:
+            return cand
+    tails = [e for e in expected if e.endswith("." + name)]
+    if len(tails) == 1:
+        return tails[0]
+    return None
+
+
+def _scope_to_path(node_name: str) -> typing.Optional[str]:
+    """Scoped node name '/dec/ups.0/ConvTranspose' -> 'dec.ups.0'."""
+    parts = [p for p in node_name.split("/") if p]
+    if len(parts) < 2:
+        return None
+    return ".".join(parts[:-1])
+
+
+def recover_initializer_names(
+    initializers: typing.Mapping[str, np.ndarray],
+    nodes: typing.Sequence[typing.Any],
+    model_config,
+) -> typing.Dict[str, np.ndarray]:
+    """Map a real export's initializers onto expected parameter names.
+
+    Returns {expected_dotted_name (or weight_g/v form): tensor},
+    dropping graph constants that are not parameters.
+    """
+    expected = expected_params_from_config(model_config)
+    result: typing.Dict[str, np.ndarray] = {}
+    claimed: typing.Set[str] = set()  # expected names already assigned
+    used: typing.Set[str] = set()  # initializer names already consumed
+
+    def claim(exp_name: str, init_name: str, arr: np.ndarray) -> bool:
+        if exp_name in claimed:
+            return False
+        if tuple(arr.shape) != expected[exp_name]:
+            return False
+        result[exp_name] = arr
+        claimed.add(exp_name)
+        used.add(init_name)
+        return True
+
+    # pass 1: direct / prefixed dotted names (incl. unfolded weight norm)
+    for name, arr in initializers.items():
+        norm = normalize_param_name(name)
+        if norm is None or "." not in norm:
+            continue
+        if norm.endswith((".weight_g", ".weight_v")):
+            base, suffix = norm.rsplit(".", 1)
+            exp = _suffix_match(base + ".weight", expected)
+            if exp is not None:
+                result[exp[: -len(".weight")] + "." + suffix] = (
+                    np.asarray(arr)
+                )
+                used.add(name)
+                if suffix == "weight_v":  # the shape-bearing half
+                    claimed.add(exp)
+            continue
+        exp = _suffix_match(norm, expected)
+        if exp is not None:
+            claim(exp, name, np.asarray(arr))
+
+    # Identity nodes forward deduplicated initializers to their other
+    # consumers — resolve the aliases first
+    alias: typing.Dict[str, str] = {}
+    for node in nodes:
+        if (
+            node.op_type == "Identity"
+            and node.inputs
+            and node.outputs
+        ):
+            src = alias.get(node.inputs[0], node.inputs[0])
+            if src in initializers:
+                alias[node.outputs[0]] = src
+
+    # consumers: initializer -> [(node_idx, input_pos, node)]
+    consumers: typing.Dict[
+        str, typing.List[typing.Tuple[int, int, typing.Any]]
+    ] = {}
+    for idx, node in enumerate(nodes):
+        if node.op_type == "Identity":
+            continue
+        for pos, inp in enumerate(node.inputs):
+            inp = alias.get(inp, inp)
+            if inp in initializers:
+                consumers.setdefault(inp, []).append((idx, pos, node))
+
+    # pass 2: recover from scoped consumer-node names (torch >= 1.13).
+    # One initializer may be consumed by several nodes — exporters
+    # deduplicate bitwise-identical tensors — so claim per CONSUMER.
+    for name, arr in initializers.items():
+        for _idx, pos, node in consumers.get(name, ()):
+            leaf = _PARAM_POSITIONS.get(node.op_type, {}).get(pos)
+            if leaf is None:
+                continue
+            scope = _scope_to_path(node.name or "")
+            if not scope:
+                continue
+            exp = _suffix_match(f"{scope}.{leaf}", expected)
+            if exp is not None:
+                claim(exp, name, np.asarray(arr))
+
+    # pass 3: ElementwiseAffine (folded as z' = (z - m) * exp(-logs))
+    ea_bases = sorted(
+        {
+            n.rsplit(".", 1)[0]
+            for n in expected
+            if n.endswith((".m", ".logs")) and n not in claimed
+        }
+    )
+    def _scope_covers(scope: typing.Optional[str], base: str) -> bool:
+        """True when the node has no usable scope (legacy export), or
+        the scope path and the expected module path agree on their
+        common tail (method-call tracing truncates owner scopes)."""
+        if not scope:
+            return True
+        s, b = scope.split("."), base.split(".")
+        n = min(len(s), len(b))
+        return s[-n:] == b[-n:]
+
+    for base in ea_bases:
+        m_name, logs_name = f"{base}.m", f"{base}.logs"
+        shape = expected[m_name]
+        sub_c, exp_c, mul_c = None, None, None
+        for name, arr in initializers.items():
+            if tuple(np.shape(arr)) != shape:
+                continue
+            for _idx, pos, node in consumers.get(name, ()):
+                scope = _scope_to_path(node.name or "")
+                if not _scope_covers(scope, base):
+                    continue
+                if node.op_type == "Sub" and pos == 1:
+                    sub_c = name
+                elif node.op_type == "Exp":
+                    # torch folded Neg(logs): the initializer IS -logs
+                    exp_c = name
+                elif node.op_type == "Mul":
+                    mul_c = name
+        if sub_c is not None:
+            claim(m_name, sub_c, np.asarray(initializers[sub_c]))
+        if logs_name not in claimed and exp_c is not None:
+            claim(
+                logs_name,
+                exp_c,
+                -np.asarray(initializers[exp_c], np.float32),
+            )
+        if logs_name not in claimed and mul_c is not None:
+            # fully folded exp(-logs) constant
+            scale = np.asarray(initializers[mul_c], np.float32)
+            with np.errstate(divide="ignore"):
+                logs = -np.log(np.maximum(scale, 1e-20))
+            claim(logs_name, mul_c, logs)
+
+    # pass 4: shape + execution-order fallback (legacy exports without
+    # scoped node names)
+    remaining_order = [
+        f"{path}.weight"
+        for path in expected_execution_order(model_config)
+        if f"{path}.weight" in expected
+        and f"{path}.weight" not in claimed
+    ]
+    conv_nodes = [
+        (idx, node)
+        for idx, node in enumerate(nodes)
+        if node.op_type in ("Conv", "ConvTranspose", "Gemm", "Gather")
+    ]
+    for _idx, node in conv_nodes:
+        pos_map = _PARAM_POSITIONS[node.op_type]
+        w_pos = 1 if node.op_type != "Gather" else 0
+        if len(node.inputs) <= w_pos:
+            continue
+        w_name = alias.get(node.inputs[w_pos], node.inputs[w_pos])
+        if w_name not in initializers or w_name in used:
+            continue
+        arr = np.asarray(initializers[w_name])
+        for exp in remaining_order:
+            if exp in claimed:
+                continue
+            if tuple(arr.shape) == expected[exp]:
+                if claim(exp, w_name, arr):
+                    # the conv's bias input belongs to the same module
+                    b_exp = exp[: -len(".weight")] + ".bias"
+                    b_pos = next(
+                        (p for p, l in pos_map.items() if l == "bias"),
+                        None,
+                    )
+                    if (
+                        b_exp in expected
+                        and b_exp not in claimed
+                        and b_pos is not None
+                        and len(node.inputs) > b_pos
+                    ):
+                        b_name = alias.get(
+                            node.inputs[b_pos], node.inputs[b_pos]
+                        )
+                        if b_name in initializers and b_name not in used:
+                            claim(
+                                b_exp,
+                                b_name,
+                                np.asarray(initializers[b_name]),
+                            )
+                break
+
+    # pass 5: deduplicated initializers without scoped names — a tensor
+    # consumed at k param positions stands for k (bitwise-identical)
+    # parameters; spread it over the unclaimed expected names of the
+    # same leaf + shape in execution order
+    exec_pos = {
+        p: i
+        for i, p in enumerate(expected_execution_order(model_config))
+    }
+
+    def _exec_rank(exp_name: str) -> int:
+        return exec_pos.get(exp_name.rsplit(".", 1)[0], 1 << 30)
+
+    for name, arr in initializers.items():
+        param_uses = [
+            (idx, pos, node)
+            for idx, pos, node in consumers.get(name, ())
+            if _PARAM_POSITIONS.get(node.op_type, {}).get(pos)
+        ]
+        if len(param_uses) < 2:
+            continue
+        arr = np.asarray(arr)
+        for _idx, pos, node in param_uses:
+            leaf = _PARAM_POSITIONS[node.op_type][pos]
+            cands = sorted(
+                (
+                    e
+                    for e in expected
+                    if e not in claimed
+                    and e.rsplit(".", 1)[-1] == leaf
+                    and expected[e] == tuple(arr.shape)
+                ),
+                key=_exec_rank,
+            )
+            if cands:
+                claim(cands[0], name, arr)
+
+    missing = sorted(set(expected) - claimed)
+    if missing:
+        _LOGGER.info(
+            "%d expected parameters absent from the ONNX graph "
+            "(dead at inference; filled from init): %s",
+            len(missing),
+            ", ".join(missing[:8]) + ("..." if len(missing) > 8 else ""),
+        )
+    return result
+
+
+def complete_params(tree: Pytree, model_config) -> Pytree:
+    """Fill parameters missing from an inference-only export with
+    initialization values (they are dead at synthesis — e.g. the first
+    ConvFlow of the duration predictor and the posterior/training-only
+    modules never appear in a traced inference graph)."""
+    import jax
+
+    from ..models.vits import init_vits_params
+
+    init_flat = flatten_pytree(
+        init_vits_params(jax.random.PRNGKey(0), model_config)
+    )
+    flat = flatten_pytree(tree)
+    for name, arr in init_flat.items():
+        folded = name
+        if name.endswith((".weight_g", ".weight_v")):
+            folded = name.rsplit(".", 1)[0] + ".weight"
+        if name not in flat and folded not in flat:
+            flat[name] = np.asarray(arr)
+    return unflatten_pytree(flat)
+
+
+# ---------------------------------------------------------------------------
 # ONNX entry point
 # ---------------------------------------------------------------------------
 
 
-def onnx_to_pytree(onnx_path: typing.Union[str, Path]) -> Pytree:
+def onnx_to_pytree(
+    onnx_path: typing.Union[str, Path], model_config=None
+) -> Pytree:
     """Read ``generator.onnx`` initializers into a parameter pytree.
 
     Works without the ``onnx`` package — the protobuf wire format is
     parsed directly (see :mod:`mimic3_tpu.runtime.onnx_reader`).
-    """
-    from .onnx_reader import read_onnx_initializers
 
-    initializers = read_onnx_initializers(onnx_path)
+    With ``model_config`` (a :class:`~mimic3_tpu.config.ModelConfig`),
+    anonymized initializer names from real ``torch.onnx.export``
+    artifacts are recovered (see :func:`recover_initializer_names`) and
+    inference-dead parameters are filled from initialization.
+    """
+    from .onnx_reader import read_onnx_graph
+
+    initializers, nodes = read_onnx_graph(onnx_path)
+    if model_config is not None:
+        named = recover_initializer_names(
+            initializers, nodes, model_config
+        )
+        tree = state_dict_to_pytree(named)
+        return complete_params(tree, model_config)
     return state_dict_to_pytree(initializers)
 
 
@@ -192,7 +648,23 @@ def convert_voice_directory(
         return npz_path
     if not onnx_path.is_file():
         raise FileNotFoundError(f"No generator.onnx in {voice_dir}")
-    tree = onnx_to_pytree(onnx_path)
+
+    # the voice's config.json (when present) enables name recovery for
+    # anonymized torch.onnx.export initializers
+    model_config = None
+    config_path = voice_dir / "config.json"
+    if config_path.is_file():
+        from ..config import TrainingConfig
+
+        try:
+            model_config = TrainingConfig.load_path(config_path).model
+        except Exception as err:
+            _LOGGER.warning(
+                "Could not parse %s (%s); converting by names only",
+                config_path,
+                err,
+            )
+    tree = onnx_to_pytree(onnx_path, model_config=model_config)
     save_pytree_npz(npz_path, tree)
     return npz_path
 

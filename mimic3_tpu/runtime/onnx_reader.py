@@ -25,9 +25,20 @@ from __future__ import annotations
 
 import struct
 import typing
+from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
+
+
+@dataclass
+class OnnxNode:
+    """A graph node's identity (enough to locate weight consumers)."""
+
+    op_type: str = ""
+    name: str = ""
+    inputs: typing.List[str] = field(default_factory=list)
+    outputs: typing.List[str] = field(default_factory=list)
 
 # ONNX TensorProto.DataType -> numpy dtype (little-endian, as in raw_data)
 _DTYPE_MAP: typing.Dict[int, np.dtype] = {
@@ -214,48 +225,60 @@ def _parse_attribute(
 def _parse_node(
     buf: memoryview,
     out: typing.Dict[str, np.ndarray],
-) -> None:
-    """Extract Constant-node tensors (weights folded into the graph)."""
+) -> OnnxNode:
+    """Parse a NodeProto; extract Constant tensors (folded weights)."""
     r = _Reader(buf)
-    outputs: typing.List[str] = []
-    op_type = ""
+    node = OnnxNode()
     attr_tensors: typing.List[memoryview] = []
     for field, wt in r.fields():
-        if field == 2 and wt == 2:
-            outputs.append(bytes(r.bytes_field()).decode("utf-8"))
-        elif field == 4 and wt == 2:
-            op_type = bytes(r.bytes_field()).decode("utf-8")
+        if field == 1 and wt == 2:  # input
+            node.inputs.append(bytes(r.bytes_field()).decode("utf-8"))
+        elif field == 2 and wt == 2:  # output
+            node.outputs.append(bytes(r.bytes_field()).decode("utf-8"))
+        elif field == 3 and wt == 2:  # name
+            node.name = bytes(r.bytes_field()).decode("utf-8")
+        elif field == 4 and wt == 2:  # op_type
+            node.op_type = bytes(r.bytes_field()).decode("utf-8")
         elif field == 5 and wt == 2:
             attr_name, tensor = _parse_attribute(r.bytes_field())
             if attr_name == "value" and tensor is not None:
                 attr_tensors.append(tensor)
         else:
             r.skip(wt)
-    if op_type == "Constant" and outputs and attr_tensors:
+    if node.op_type == "Constant" and node.outputs and attr_tensors:
         _, arr = _parse_tensor(attr_tensors[0])
         if arr is not None:
-            out[outputs[0]] = arr
+            out[node.outputs[0]] = arr
+    return node
 
 
-def _parse_graph(buf: memoryview) -> typing.Dict[str, np.ndarray]:
+def _parse_graph(
+    buf: memoryview,
+) -> typing.Tuple[typing.Dict[str, np.ndarray], typing.List[OnnxNode]]:
     r = _Reader(buf)
     tensors: typing.Dict[str, np.ndarray] = {}
+    nodes: typing.List[OnnxNode] = []
     for field, wt in r.fields():
         if field == 5 and wt == 2:  # initializer
             name, arr = _parse_tensor(r.bytes_field())
             if name is not None and arr is not None:
                 tensors[name] = arr
         elif field == 1 and wt == 2:  # node (Constant extraction)
-            _parse_node(r.bytes_field(), tensors)
+            nodes.append(_parse_node(r.bytes_field(), tensors))
         else:
             r.skip(wt)
-    return tensors
+    return tensors, nodes
 
 
-def read_onnx_initializers(
+def read_onnx_graph(
     path: typing.Union[str, Path],
-) -> typing.Dict[str, np.ndarray]:
-    """Read all named weight tensors out of an ONNX file."""
+) -> typing.Tuple[typing.Dict[str, np.ndarray], typing.List[OnnxNode]]:
+    """Read (named weight tensors, graph nodes) out of an ONNX file.
+
+    Nodes carry op_type/name/inputs/outputs — enough for the converter to
+    recover module paths for initializers whose names a real
+    ``torch.onnx.export`` anonymized (``onnx::Conv_123``-style names for
+    constant-folded weight-norm weights)."""
     data = memoryview(Path(path).read_bytes())
     r = _Reader(data)
     for field, wt in r.fields():
@@ -263,3 +286,10 @@ def read_onnx_initializers(
             return _parse_graph(r.bytes_field())
         r.skip(wt)
     raise ValueError(f"{path}: no graph found (not an ONNX model?)")
+
+
+def read_onnx_initializers(
+    path: typing.Union[str, Path],
+) -> typing.Dict[str, np.ndarray]:
+    """Read all named weight tensors out of an ONNX file."""
+    return read_onnx_graph(path)[0]

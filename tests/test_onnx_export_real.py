@@ -1,0 +1,269 @@
+"""Converter vs a REAL ``torch.onnx.export`` artifact.
+
+The reference's voices are ``torch.onnx.export`` products
+(reference: mimic3_tts/voice.py:403-405); such exports constant-fold the
+weight-norm parametrizations, ANONYMIZING those initializers
+("onnx::Conv_123"-style names).  These tests export the independent torch
+oracle for real, then prove the production converter recovers every
+parameter and that the converted JAX model matches the torch oracle's
+waveform.
+
+The ``onnx`` python package is absent in this environment; torch's C++
+exporter serializes the ModelProto itself, and the only thing the python
+``onnx`` module is used for is scanning for custom onnxscript functions
+(we have none) — a stub makes that step a no-op.  Our own protobuf wire
+parser (mimic3_tpu.runtime.onnx_reader) reads the resulting file.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import torch_oracle as oracle
+
+from mimic3_tpu.config import ModelConfig
+from mimic3_tpu.runtime.convert import (
+    flatten_pytree,
+    onnx_to_pytree,
+    recover_initializer_names,
+)
+from mimic3_tpu.runtime.onnx_reader import read_onnx_graph
+
+N_VOCAB = 40
+HID = 32
+INTER = 32
+FILT = 64
+HEADS = 2
+LAYERS = 2
+INITIAL = 64
+RATES = (4, 4)
+UPK = (8, 8)
+
+T_TEXT = 11
+MAX_FRAMES = 400
+
+
+def _install_onnx_stub() -> None:
+    if "onnx" in sys.modules:
+        return
+    stub = types.ModuleType("onnx")
+
+    class _Graph:
+        node = ()
+
+    class _Model:
+        graph = _Graph()
+        functions = []
+
+    stub.load_model_from_string = lambda _b: _Model()
+    sys.modules["onnx"] = stub
+
+
+class _ExportWrapper(torch.nn.Module):
+    """Traceable inference graph with explicit noise inputs."""
+
+    def __init__(self, net):
+        super().__init__()
+        self.net = net
+
+    def forward(self, ids, lengths, dur_noise, prior_noise):
+        audio, y_lengths, w = self.net.infer(
+            ids,
+            lengths,
+            noise_scale=0.667,
+            length_scale=1.0,
+            noise_w=0.8,
+            dur_noise=dur_noise,
+            prior_noise=prior_noise,
+        )
+        return audio, y_lengths, w
+
+
+def _model_config() -> ModelConfig:
+    return ModelConfig(
+        num_symbols=N_VOCAB,
+        inter_channels=INTER,
+        hidden_channels=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        upsample_initial_channel=INITIAL,
+        upsample_rates=RATES,
+        upsample_kernel_sizes=UPK,
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(7)
+    m = oracle.SynthesizerTrn(
+        N_VOCAB,
+        inter_channels=INTER,
+        hidden=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        initial_channel=INITIAL,
+        rates=RATES,
+        up_kernels=UPK,
+    )
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def export_path(torch_model, tmp_path_factory):
+    _install_onnx_stub()
+    path = tmp_path_factory.mktemp("export") / "generator.onnx"
+    ids = torch.tensor(
+        np.random.RandomState(1).randint(1, N_VOCAB, (1, T_TEXT))
+    )
+    lengths = torch.tensor([T_TEXT])
+    dur_noise = torch.zeros(1, 2, T_TEXT)
+    prior_noise = torch.zeros(1, INTER, MAX_FRAMES)
+    torch.onnx.export(
+        _ExportWrapper(torch_model),
+        (ids, lengths, dur_noise, prior_noise),
+        str(path),
+        input_names=["input", "input_lengths", "dur_noise", "prior_noise"],
+        output_names=["output", "y_lengths", "w_ceil"],
+        do_constant_folding=True,
+        opset_version=17,
+        dynamo=False,
+    )
+    return path
+
+
+def test_export_anonymizes_weight_norm(export_path):
+    """Sanity: the gap being closed is real — the export DID anonymize
+    the folded weight-norm initializers."""
+    initializers, _nodes = read_onnx_graph(export_path)
+    anon = [
+        k
+        for k, v in initializers.items()
+        if k.startswith("onnx::") and v.ndim == 3
+    ]
+    assert len(anon) > 10  # WN convs in flow + all of HiFi-GAN
+
+
+def test_recovery_names_every_parameter(export_path, torch_model):
+    initializers, nodes = read_onnx_graph(export_path)
+    named = recover_initializer_names(initializers, nodes, _model_config())
+
+    # fold the oracle's state dict for ground truth values
+    from mimic3_tpu.runtime.convert import (
+        _fold_weight_norm_flat,
+        normalize_param_name,
+    )
+
+    sd = {
+        normalize_param_name(k): v
+        for k, v in oracle.state_dict_numpy(torch_model).items()
+    }
+    truth = _fold_weight_norm_flat(sd)
+
+    # every executed parameter must be recovered with the exact values
+    dead_prefixes = ("dp.post_", "dp.flows.1.")
+    checked = 0
+    for name, arr in truth.items():
+        if name.startswith(dead_prefixes):
+            continue
+        if name == "dp.flows.0.logs":
+            # recovered from the folded exp(-logs) constant
+            np.testing.assert_allclose(
+                named[name], arr[:, 0:1] if arr.ndim == 2 else arr,
+                atol=1e-6,
+            )
+            checked += 1
+            continue
+        assert name in named, f"{name} not recovered"
+        np.testing.assert_allclose(
+            named[name], arr, atol=1e-6, err_msg=name
+        )
+        checked += 1
+    assert checked > 150
+
+
+def test_converted_export_matches_oracle(export_path, torch_model):
+    """End-to-end: real export file -> converter -> JAX synthesis matches
+    the torch oracle waveform (VERDICT round-1 item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits import VitsModel
+
+    params = onnx_to_pytree(export_path, model_config=_model_config())
+    model = VitsModel(_model_config(), decoder_dtype=jnp.float32)
+
+    ids = np.random.RandomState(5).randint(1, N_VOCAB, (1, T_TEXT))
+    lengths = np.array([T_TEXT])
+
+    with torch.no_grad():
+        audio_t, ylen_t, w_t = torch_model.infer(
+            torch.tensor(ids),
+            torch.tensor(lengths),
+            noise_scale=0.0,
+            length_scale=1.0,
+            noise_w=0.0,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    durs, totals = model.infer_durations(
+        params,
+        jnp.array(ids),
+        jnp.array(lengths),
+        rng,
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(durs), w_t.numpy()[:, 0, :].astype(np.int32)
+    )
+    num_frames = int(np.asarray(totals).max())
+    audio_j, alen_j = model.decode_frames(
+        params,
+        jnp.array(ids),
+        jnp.array(lengths),
+        durs,
+        num_frames,
+        rng,
+        jnp.float32(0.0),
+    )
+    n = int(alen_j[0])
+    got = np.asarray(audio_j)[0, :n]
+    ref = audio_t.numpy()[0][:n]
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+    corr = np.corrcoef(got, ref)[0, 1]
+    assert corr > 0.999, f"waveform correlation {corr}"
+
+
+def test_recovery_without_scoped_node_names(export_path, torch_model):
+    """Legacy-exporter path: strip every node name (old torch exports
+    carry bare 'Conv_123' names) and prove shape+execution-order
+    matching still recovers the weight-norm convolutions."""
+    initializers, nodes = read_onnx_graph(export_path)
+    for node in nodes:
+        node.name = ""
+    named = recover_initializer_names(initializers, nodes, _model_config())
+
+    from mimic3_tpu.runtime.convert import (
+        _fold_weight_norm_flat,
+        normalize_param_name,
+    )
+
+    sd = {
+        normalize_param_name(k): v
+        for k, v in oracle.state_dict_numpy(torch_model).items()
+    }
+    truth = _fold_weight_norm_flat(sd)
+    dead_prefixes = ("dp.post_", "dp.flows.1.")
+    for name, arr in truth.items():
+        if name.startswith(dead_prefixes) or name == "dp.flows.0.logs":
+            continue
+        assert name in named, f"{name} not recovered without scopes"
+        np.testing.assert_allclose(
+            named[name], arr, atol=1e-6, err_msg=name
+        )

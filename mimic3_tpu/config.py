@@ -362,6 +362,11 @@ class TpuConfig:
     """Route HiFi-GAN resblocks through the fused Pallas kernel (TPU only;
     benchmark-gated default until profiled faster than plain XLA)."""
 
+    pallas_stage_max_channels: int = 0
+    """Stages with channels <= this run as one monolithic folded Pallas
+    kernel (ops/stage.py) — targets the bandwidth-bound small-channel
+    late HiFi-GAN stages.  0 disables (benchmark-gated)."""
+
     text_buckets: typing.Tuple[int, ...] = (32, 64, 128, 256, 512)
     """Static phoneme-length buckets; inputs are padded up to the nearest."""
 
@@ -369,6 +374,13 @@ class TpuConfig:
         128, 256, 512, 1024, 2048, 4096,
     )
     """Static spectrogram-frame buckets for the decode stage."""
+
+    batch_buckets: typing.Tuple[int, ...] = (1, 2, 4, 8, 16)
+    """Static batch-size buckets; the scheduler's variable batches are
+    padded up to the nearest so intermediate batch sizes never trigger
+    an XLA compile on the request path.  On a dp>1 mesh the effective
+    buckets are rounded up to multiples of dp (the batch dimension is
+    sharded across data-parallel devices)."""
 
 
 @dataclass

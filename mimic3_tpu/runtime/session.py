@@ -159,7 +159,15 @@ def pick_bucket(
 
 
 class VitsSession:
-    """A voice's compiled synthesis engine on one device (or mesh)."""
+    """A voice's compiled synthesis engine on one device (or mesh).
+
+    With ``mesh`` set, inference runs data-parallel across the mesh's
+    ``dp`` axis: params are replicated (TP-sharded where rules match
+    when the mesh has a nontrivial ``tp`` axis), the batch dimension is
+    sharded over ``dp``, and XLA partitions every executable — the
+    TPU-native answer to the reference's N worker threads
+    (reference: mimic3_http/__main__.py:53-61, per SURVEY.md §2.4).
+    """
 
     _SHARED: typing.Dict[str, "VitsSession"] = {}
     _SHARED_LOCK = threading.Lock()
@@ -172,6 +180,8 @@ class VitsSession:
         deterministic: bool = False,
         seed: int = 0,
         allow_bucket_growth: bool = False,
+        mesh: typing.Optional[typing.Any] = None,
+        use_tp: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -191,10 +201,37 @@ class VitsSession:
             compute_dtype=compute_dtype,
             decoder_dtype=decoder_dtype,
             use_pallas=config.tpu.use_pallas,
+            pallas_stage_max_channels=(
+                config.tpu.pallas_stage_max_channels
+            ),
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, dict(params))
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import batch_sharding, param_sharding
+
+            self.dp = int(mesh.shape.get("dp", 1))
+            self._replicated = NamedSharding(mesh, P())
+            self._batch_sharding = batch_sharding(mesh)
+            shardings = param_sharding(self.mesh, self.params, use_tp=use_tp)
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self.params, shardings
+            )
+        else:
+            self.dp = 1
+            self._replicated = None
+            self._batch_sharding = None
         self.text_buckets = tuple(config.tpu.text_buckets)
         self.frame_buckets = tuple(config.tpu.frame_buckets)
+        # batch buckets: variable scheduler batches pad up to these so
+        # the batch dimension never triggers a request-path compile; on
+        # a dp mesh every bucket is rounded up to a multiple of dp
+        raw_bb = tuple(config.tpu.batch_buckets) or (1,)
+        self.batch_buckets = tuple(
+            sorted({-(-b // self.dp) * self.dp for b in raw_bb})
+        )
         # False (serving default): inputs past the largest bucket are
         # truncated so the request path can never trigger an XLA compile
         self.allow_bucket_growth = allow_bucket_growth
@@ -266,6 +303,25 @@ class VitsSession:
                 cls._SHARED[key] = session
             return session
 
+    # -- device placement -------------------------------------------------------
+
+    def _put(self, x, *, sharded: bool):
+        """Place an array on the device/mesh.
+
+        ``sharded=True`` shards the leading (batch) dimension over the
+        mesh's dp axis; otherwise the value is replicated.  Without a
+        mesh this is a plain transfer.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        if sharded and x.ndim >= 1 and x.shape[0] % self.dp == 0:
+            return jax.device_put(x, self._batch_sharding)
+        return jax.device_put(x, self._replicated)
+
     # -- rng -------------------------------------------------------------------
 
     def _next_key(self, seed: typing.Optional[int] = None):
@@ -301,6 +357,28 @@ class VitsSession:
 
         start = time.perf_counter()
         batch = len(id_sequences)
+        max_bb = self.batch_buckets[-1]
+        if not self.allow_bucket_growth and batch > max_bb:
+            # split oversized direct-caller batches across the warmed
+            # largest batch bucket instead of compiling a new one
+            out: typing.List[np.ndarray] = []
+            for i in range(0, batch, max_bb):
+                out.extend(
+                    self.synthesize_ids_batch(
+                        id_sequences[i : i + max_bb],
+                        speaker_ids=(
+                            None
+                            if speaker_ids is None
+                            else speaker_ids[i : i + max_bb]
+                        ),
+                        length_scale=length_scale,
+                        noise_scale=noise_scale,
+                        noise_w=noise_w,
+                        seed=seed,
+                        max_frames_cap=max_frames_cap,
+                    )
+                )
+            return out
         max_text = self.text_buckets[-1]
         if not self.allow_bucket_growth and any(
             len(s) > max_text for s in id_sequences
@@ -315,25 +393,32 @@ class VitsSession:
                 max_text,
             )
             id_sequences = [list(s)[:max_text] for s in id_sequences]
-        lengths = np.array([len(s) for s in id_sequences], np.int32)
+        # batch bucket: pad the batch dimension up so variable scheduler
+        # batches reuse one executable, and so the batch divides dp
+        b_bucket = pick_bucket(
+            batch, self.batch_buckets, grow=self.allow_bucket_growth
+        )
+        if b_bucket % self.dp:
+            b_bucket = -(-b_bucket // self.dp) * self.dp
+        lengths = np.ones((b_bucket,), np.int32)  # pad rows: 1 phoneme
+        lengths[:batch] = [len(s) for s in id_sequences]
         t_bucket = pick_bucket(
-            int(lengths.max()),
+            int(lengths[:batch].max()),
             self.text_buckets,
             grow=self.allow_bucket_growth,
         )
-        ids = np.zeros((batch, t_bucket), np.int32)
+        ids = np.zeros((b_bucket, t_bucket), np.int32)
         for i, seq in enumerate(id_sequences):
             ids[i, : len(seq)] = np.asarray(seq, np.int32)
 
-        if speaker_ids is None:
-            sid = np.zeros((batch,), np.int32)
-        else:
-            sid = np.asarray(speaker_ids, np.int32)
+        sid = np.zeros((b_bucket,), np.int32)
+        if speaker_ids is not None:
+            sid[:batch] = np.asarray(speaker_ids, np.int32)
 
-        rng = self._next_key(seed)
-        ids_j = jnp.asarray(ids)
-        lengths_j = jnp.asarray(lengths)
-        sid_j = jnp.asarray(sid)
+        rng = self._put(self._next_key(seed), sharded=False)
+        ids_j = self._put(ids, sharded=True)
+        lengths_j = self._put(lengths, sharded=True)
+        sid_j = self._put(sid, sharded=True)
 
         durations, totals = self._dur_fn(
             self.params,
@@ -345,7 +430,7 @@ class VitsSession:
             sid_j,
         )
         totals_np = np.asarray(totals)  # host sync (tiny transfer)
-        needed = int(totals_np.max())
+        needed = int(totals_np[:batch].max())
         if not self.allow_bucket_growth:
             max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
         if needed > max_frames_cap:
@@ -362,7 +447,7 @@ class VitsSession:
             dur_np = np.concatenate(
                 [cum[:, :1], np.diff(cum, axis=1)], axis=1
             )
-            durations = jnp.asarray(dur_np)
+            durations = self._put(dur_np, sharded=True)
         f_bucket = pick_bucket(
             needed, self.frame_buckets, grow=self.allow_bucket_growth
         )
@@ -385,7 +470,7 @@ class VitsSession:
         ]
 
         elapsed = time.perf_counter() - start
-        audio_sec = float(sample_lengths_np.sum()) / (
+        audio_sec = float(sample_lengths_np[:batch].sum()) / (
             self.config.audio.sample_rate
         )
         self.stats.record(elapsed, audio_sec)
@@ -489,15 +574,51 @@ class VitsSession:
         ids[0, : len(phoneme_ids)] = np.asarray(phoneme_ids, np.int32)
         sid = np.array([speaker_id or 0], np.int32)
 
-        rng = self._next_key(seed)
-        ids_j = jnp.asarray(ids)
-        lengths_j = jnp.asarray(lengths)
-        sid_j = jnp.asarray(sid)
+        rng = self._put(self._next_key(seed), sharded=False)
+        ids_j = self._put(ids, sharded=False)
+        lengths_j = self._put(lengths, sharded=False)
+        sid_j = self._put(sid, sharded=False)
 
         durations, totals = self._dur_fn(
             self.params, ids_j, lengths_j, rng,
             jnp.float32(length_scale), jnp.float32(noise_w), sid_j,
         )
+
+        # Speculative first chunk: the first decode window needs only
+        # the (device-resident) durations, not the frame total — so it
+        # is dispatched BEFORE the totals host sync and computes while
+        # that round trip is in flight.  Through a network-attached TPU
+        # the sync is a large share of time-to-first-audio
+        # (docs/STATUS.md round-1 streaming profile).
+        inter = self.model.hp.inter_channels
+        first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
+        window0 = first_cf + 2 * overlap
+        noise_seed = seed if seed is not None else self._call_counter
+        if self.deterministic or noise_scale == 0.0:
+            noise0 = np.zeros((1, window0, inter), np.float32)
+        else:
+            # rows [overlap, overlap+window0) of the same prefix-stable
+            # randn stream that noise_full below regenerates in full
+            noise0 = (
+                np.random.RandomState(noise_seed)
+                .randn(1, overlap + window0, inter)
+                .astype(np.float32)[:, overlap:]
+            )
+        m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
+        spec_audio, _ = self._dec_chunk_fn(
+            self.params,
+            ids_j,
+            lengths_j,
+            durations,
+            jnp.float32(noise_scale),
+            sid_j,
+            self._put(noise0, sharded=False),
+            jnp.int32(0),
+            m_p,
+            logs_p,
+            num_frames=window0,
+        )
+
         total = int(np.asarray(totals)[0])
         if not self.allow_bucket_growth:
             max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
@@ -508,20 +629,22 @@ class VitsSession:
             )
             dur_np = np.asarray(durations)
             cum = np.minimum(np.cumsum(dur_np, axis=1), max_frames_cap)
-            durations = jnp.asarray(
-                np.concatenate([cum[:, :1], np.diff(cum, axis=1)], axis=1)
+            durations = self._put(
+                np.concatenate(
+                    [cum[:, :1], np.diff(cum, axis=1)], axis=1
+                ),
+                sharded=False,
             )
             total = max_frames_cap
-
-        m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
+            # durations changed: the speculative first window is stale
+            spec_audio = None
 
         # chunk grid: optional smaller first chunk, then uniform
-        sizes = [min(first_chunk_frames or chunk_frames, chunk_frames)]
+        sizes = [first_cf]
         grid_end = sizes[0]
         while grid_end < total:
             sizes.append(chunk_frames)
             grid_end += chunk_frames
-        inter = self.model.hp.inter_channels
         if self.deterministic or noise_scale == 0.0:
             noise_full = np.zeros(
                 (1, grid_end + 2 * overlap, inter), np.float32
@@ -529,16 +652,15 @@ class VitsSession:
         else:
             # row-major randn is prefix-stable in the time axis, so the
             # noise at global frame f is the same for any grid/length
-            noise_rng = np.random.RandomState(
-                seed if seed is not None else self._call_counter
-            )
+            # (and matches the speculative first window's rows)
+            noise_rng = np.random.RandomState(noise_seed)
             noise_full = noise_rng.randn(
                 1, grid_end + 2 * overlap, inter
             ).astype(np.float32)
 
         emitted = 0
         start = 0
-        for cf in sizes:
+        for n_chunk, cf in enumerate(sizes):
             valid = min(cf, total - start)
             if valid <= 0:
                 break
@@ -546,28 +668,36 @@ class VitsSession:
             # never fabricate left context before frame 0
             left = min(overlap, start)
             off = start - left
-            # global frame f always reads noise_full[f + overlap], so
-            # overlapping windows see identical noise (seam-exact)
-            noise_slice = noise_full[:, off + overlap :][:, :window]
-            # keep a static noise window shape
-            if noise_slice.shape[1] < window:
-                noise_slice = np.pad(
-                    noise_slice,
-                    ((0, 0), (0, window - noise_slice.shape[1]), (0, 0)),
+            if n_chunk == 0 and spec_audio is not None:
+                # already decoded, overlapped with the totals sync
+                audio = spec_audio
+            else:
+                # global frame f always reads noise_full[f + overlap],
+                # so overlapping windows see identical noise (seam-exact)
+                noise_slice = noise_full[:, off + overlap :][:, :window]
+                # keep a static noise window shape
+                if noise_slice.shape[1] < window:
+                    noise_slice = np.pad(
+                        noise_slice,
+                        (
+                            (0, 0),
+                            (0, window - noise_slice.shape[1]),
+                            (0, 0),
+                        ),
+                    )
+                audio, _ = self._dec_chunk_fn(
+                    self.params,
+                    ids_j,
+                    lengths_j,
+                    durations,
+                    jnp.float32(noise_scale),
+                    sid_j,
+                    self._put(noise_slice, sharded=False),
+                    jnp.int32(off),
+                    m_p,
+                    logs_p,
+                    num_frames=window,
                 )
-            audio, _ = self._dec_chunk_fn(
-                self.params,
-                ids_j,
-                lengths_j,
-                durations,
-                jnp.float32(noise_scale),
-                sid_j,
-                jnp.asarray(noise_slice),
-                jnp.int32(off),
-                m_p,
-                logs_p,
-                num_frames=window,
-            )
             chunk = np.asarray(
                 audio[0, left * hop : (left + valid) * hop],
                 dtype=np.float32,
@@ -587,7 +717,7 @@ class VitsSession:
         self,
         text_buckets: typing.Optional[typing.Sequence[int]] = None,
         frame_buckets: typing.Optional[typing.Sequence[int]] = None,
-        batch_sizes: typing.Sequence[int] = (1,),
+        batch_sizes: typing.Optional[typing.Sequence[int]] = None,
         chunk_windows: typing.Sequence[int] = (),
     ) -> float:
         """Pre-compile executables for the given bucket grid.
@@ -602,12 +732,24 @@ class VitsSession:
         start = time.perf_counter()
         tb = tuple(text_buckets or self.text_buckets)
         fb = tuple(frame_buckets or self.frame_buckets)
-        rng = self._next_key(0)
+        if batch_sizes is None:
+            # smallest batch bucket only (dp on a mesh); serving warms
+            # its full bucket ladder explicitly (server/app.py preload)
+            batch_sizes = (self.batch_buckets[0],)
+        else:
+            # round requested sizes onto the serving bucket grid so the
+            # warmed executables are the ones requests actually hit
+            batch_sizes = sorted(
+                {pick_bucket(b, self.batch_buckets) for b in batch_sizes}
+            )
+        rng = self._put(self._next_key(0), sharded=False)
         for b in batch_sizes:
             for t in tb:
-                ids = jnp.zeros((b, t), jnp.int32)
-                lengths = jnp.full((b,), t, jnp.int32)
-                sid = jnp.zeros((b,), jnp.int32)
+                ids = self._put(np.zeros((b, t), np.int32), sharded=True)
+                lengths = self._put(
+                    np.full((b,), t, np.int32), sharded=True
+                )
+                sid = self._put(np.zeros((b,), np.int32), sharded=True)
                 durations, _ = self._dur_fn(
                     self.params, ids, lengths, rng,
                     jnp.float32(1.0), jnp.float32(0.8), sid,
@@ -622,9 +764,11 @@ class VitsSession:
         # doesn't pay XLA compilation either
         n_chunk_compiles = 0
         for t in (tb if chunk_windows else ()):
-            ids = jnp.zeros((1, t), jnp.int32)
-            lengths = jnp.full((1,), t, jnp.int32)
-            sid = jnp.zeros((1,), jnp.int32)
+            ids = self._put(np.zeros((1, t), np.int32), sharded=False)
+            lengths = self._put(
+                np.full((1,), t, np.int32), sharded=False
+            )
+            sid = self._put(np.zeros((1,), np.int32), sharded=False)
             durations, _ = self._dur_fn(
                 self.params, ids, lengths, rng,
                 jnp.float32(1.0), jnp.float32(0.8), sid,

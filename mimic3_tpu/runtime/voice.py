@@ -206,8 +206,17 @@ class TpuVoice(ABC):
         share_sessions: bool = True,
         deterministic: bool = False,
         seed: int = 0,
+        dp: typing.Optional[int] = None,
     ) -> "TpuVoice":
-        """Load a voice directory (Mimic 3 voice layout)."""
+        """Load a voice directory (Mimic 3 voice layout).
+
+        ``dp`` > 1 serves the voice data-parallel over that many local
+        devices (batch dimension sharded over a ``jax.sharding.Mesh``);
+        ``dp=-1`` uses every device.  Default comes from ``$MIMIC3_DP``
+        (unset/0/1 = single device).
+        """
+        import os
+
         voice_dir = Path(voice_dir)
         _LOGGER.debug("Loading voice from %s", voice_dir)
 
@@ -218,16 +227,36 @@ class TpuVoice(ABC):
         ) as ids_file:
             phoneme_to_id = load_phoneme_ids(ids_file)
 
+        if dp is None:
+            dp = int(os.environ.get("MIMIC3_DP", "0") or 0)
+
         def make_session() -> VitsSession:
             params = _load_voice_params(voice_dir)
+            mesh = None
+            if dp and dp != 1:
+                import jax
+
+                from ..parallel import make_mesh
+
+                n = len(jax.devices()) if dp == -1 else dp
+                if n > 1:
+                    mesh = make_mesh(n_devices=n, tp=1)
+                    _LOGGER.info(
+                        "Serving %s data-parallel over %d devices",
+                        voice_dir.name, n,
+                    )
             return VitsSession(
-                config, params, deterministic=deterministic, seed=seed
+                config,
+                params,
+                deterministic=deterministic,
+                seed=seed,
+                mesh=mesh,
             )
 
         if share_sessions:
             key = str((voice_dir / "generator").absolute()) + (
                 ":det" if deterministic else ""
-            )
+            ) + (f":dp{dp}" if dp and dp != 1 else "")
             session = VitsSession.get_shared(key, make_session)
         else:
             session = make_session()

@@ -118,6 +118,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--warmup", action="store_true",
         help="Pre-compile all buckets for preloaded voices at startup",
     )
+    parser.add_argument(
+        "--dp", type=int, default=0,
+        help="Serve data-parallel over this many devices (batch "
+        "dimension sharded across a jax mesh); -1 = all devices, "
+        "0/1 = single device. Also settable via $MIMIC3_DP.",
+    )
     parser.add_argument("--debug", action="store_true")
     return parser
 
@@ -172,6 +178,11 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO
     )
+    if args.dp and args.dp != 1:
+        # voice sessions read this at load time (runtime/voice.py)
+        import os
+
+        os.environ["MIMIC3_DP"] = str(args.dp)
 
     from .app import TtsApp, build_server
 

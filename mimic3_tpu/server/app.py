@@ -182,10 +182,15 @@ class TtsApp:
             voice = self._catalog._get_or_load_voice(key)
             self._wire_session(key, voice)
             if self.config.warmup:
+                # warm every batch bucket the scheduler can produce so
+                # no request-path batch size ever compiles
+                bb = [
+                    b
+                    for b in voice.session.batch_buckets
+                    if b <= self.config.max_batch
+                ] or [voice.session.batch_buckets[0]]
                 voice.session.warmup(
-                    batch_sizes=sorted(
-                        {1, self.config.max_batch}
-                    ),
+                    batch_sizes=bb,
                     chunk_windows=_STREAM_WINDOWS,
                 )
 

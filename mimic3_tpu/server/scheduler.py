@@ -128,7 +128,12 @@ class BatchScheduler:
         batch = [first]
         key = first.batch_key()
         deadline = time.monotonic() + self.max_delay
-        while len(batch) < self.max_batch:
+        # on a dp>1 mesh, cap at a dp-divisible size so the packed batch
+        # shards evenly across the data-parallel devices (the session
+        # pads any remainder up to a batch bucket regardless)
+        dp = int(getattr(first.session, "dp", 1))
+        limit = max(dp, (self.max_batch // dp) * dp)
+        while len(batch) < limit:
             timeout = deadline - time.monotonic()
             if timeout <= 0:
                 break

@@ -78,6 +78,7 @@ def hifigan_generator(
     upsample_kernel_sizes: typing.Sequence[int] = (16, 16, 4, 4),
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
+    pallas_stage_max_channels: int = 0,
 ) -> jax.Array:
     """Decode latent frames [B, T, inter] to a waveform [B, T*prod(rates)].
 
@@ -107,12 +108,32 @@ def hifigan_generator(
         x = conv_transpose1d(
             x, params["ups"][str(i)], stride=u, padding=(k - u) // 2
         )
+        stage_params = [
+            params["resblocks"][str(i * num_kernels + j)]
+            for j in range(num_kernels)
+        ]
+        if (
+            resblock_type == "1"
+            and 0 < x.shape[-1] <= pallas_stage_max_channels
+            and 128 % x.shape[-1] == 0
+        ):
+            # small-channel stages: one monolithic folded Pallas kernel
+            # for the whole MRF stage (mimic3_tpu/ops/stage.py)
+            from ...ops.stage import hifigan_stage_fused
+
+            try:
+                x = hifigan_stage_fused(
+                    stage_params, x,
+                    resblock_kernel_sizes, resblock_dilation_sizes,
+                )
+                continue
+            except ValueError:
+                pass  # unsupported shape: fall through to XLA path
         xs = None
         for j, (rk, rd) in enumerate(
             zip(resblock_kernel_sizes, resblock_dilation_sizes)
         ):
-            idx = str(i * num_kernels + j)
-            out = res_fn(params["resblocks"][idx], x, rk, rd)
+            out = res_fn(stage_params[j], x, rk, rd)
             xs = out if xs is None else xs + out
         x = xs / num_kernels
 

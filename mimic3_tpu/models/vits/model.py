@@ -504,11 +504,13 @@ class VitsModel:
         compute_dtype: jnp.dtype = jnp.float32,
         decoder_dtype: jnp.dtype = jnp.bfloat16,
         use_pallas: bool = False,
+        pallas_stage_max_channels: int = 0,
     ):
         self.hp = VitsHyperparams.from_config(config)
         self.compute_dtype = compute_dtype
         self.decoder_dtype = decoder_dtype
         self.use_pallas = use_pallas
+        self.pallas_stage_max_channels = pallas_stage_max_channels
 
     # -- submodule wrappers --------------------------------------------------
 
@@ -679,6 +681,7 @@ class VitsModel:
             upsample_kernel_sizes=self.hp.upsample_kernel_sizes,
             compute_dtype=self.decoder_dtype,
             use_pallas=self.use_pallas,
+            pallas_stage_max_channels=self.pallas_stage_max_channels,
         )
 
     # -- one-shot convenience ----------------------------------------------------

@@ -1,0 +1,366 @@
+"""Pallas TPU kernel: monolithic folded HiFi-GAN stage.
+
+The late HiFi-GAN stages are small-channel (64/32): under XLA every
+conv pads the channel axis to 128 lanes, so one stage makes ~36 padded
+HBM round trips and runs at ~16 TF/s effective (measured round 1,
+docs/STATUS.md).  This kernel computes an ENTIRE multi-receptive-field
+stage — all three resblocks (kernels 3/7/11, dilations 1/3/5, conv
+pairs and residuals) plus the mean — per time tile in VMEM:
+
+- activations live in a *time-folded* layout ``[T/F, F*C]`` with
+  ``F = 128 // C``, a free row-major reshape that packs lanes fully;
+- each conv becomes ``K_f`` sublane-rolled ``[rows,128] @ [128,128]``
+  MXU matmuls against block-folded weights (same construction as
+  ops/folding.py, which measured *negative* under XLA because each
+  folded conv still round-tripped HBM — here the whole stage stays
+  resident in VMEM);
+- rolls run in f32 (Mosaic rotate needs 32-bit data); matmul inputs
+  are cast to bf16 so the MXU runs at its bf16 rate with f32
+  accumulation;
+- the input tile is DMA'd once with halo; one output tile is written.
+
+HBM traffic per stage drops from ~38 GB (batch 16 x 262k samples) to
+~0.6 GB.  The FLOPs inflation of folding (dense folded taps vs sparse
+blocks) averages ~2.9x for the stage-3 conv set, but at full-lane bf16
+MXU rates that still nets out ~3x faster than the padded XLA path.
+
+Zero-padding conv semantics at sequence boundaries are preserved by
+masking rows outside ``[0, T)`` before every conv (torch Conv1d
+reference contract: mimic3_tts/voice.py:230's graph).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.vits.layers import LRELU_SLOPE
+from .folding import folded_kernel_span
+
+
+def _leaky(x: jax.Array) -> jax.Array:
+    return jnp.where(x >= 0, x, x * LRELU_SLOPE)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_plan(
+    kernel_sizes: typing.Tuple[int, ...],
+    dilations: typing.Tuple[typing.Tuple[int, ...], ...],
+    fold: int,
+) -> typing.Tuple[typing.Tuple[typing.Tuple[int, int, int], ...], int]:
+    """Static conv schedule: per conv (w_offset, k_f, dt_min); total K_f.
+
+    Order: for each resblock r, for each dilation step j:
+    convs1[r][j] then convs2[r][j].
+    """
+    plan = []
+    offset = 0
+    for r, k in enumerate(kernel_sizes):
+        for j, d in enumerate(dilations[r]):
+            for dil in (d, 1):  # conv1 (dilated) then conv2
+                dt_min, dt_max = folded_kernel_span(k, dil, fold)
+                k_f = dt_max - dt_min + 1
+                plan.append((offset, k_f, dt_min))
+                offset += k_f
+    return tuple(plan), offset
+
+
+def fold_stage_weights(
+    resblock_params: typing.Sequence[typing.Mapping],
+    kernel_sizes: typing.Sequence[int],
+    dilations: typing.Sequence[typing.Sequence[int]],
+    fold: int,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> typing.Tuple[jax.Array, jax.Array]:
+    """Build (w_all [sum K_f, FC, FC] dtype, bias_all [n_convs, FC] f32).
+
+    Weight-norm must already be folded.  The block-weight assembly is
+    trace-time jnp (weights may be traced); shapes are static.
+    """
+    from ..models.vits.layers import fold_weight_norm
+
+    plan, total = _stage_plan(
+        tuple(kernel_sizes),
+        tuple(tuple(d) for d in dilations),
+        fold,
+    )
+    ws: typing.List[jax.Array] = []
+    bs: typing.List[jax.Array] = []
+    idx = 0
+    for r, k in enumerate(kernel_sizes):
+        rp = resblock_params[r]
+        for j, d in enumerate(dilations[r]):
+            sj = str(j)
+            for dil, pkey in ((d, "convs1"), (1, "convs2")):
+                p = fold_weight_norm(rp[pkey][sj])
+                weight = p["weight"]  # [K, C, C]
+                kk, c, c_out = weight.shape
+                pad = dil * (kk - 1) // 2
+                _, k_f, dt_min = plan[idx]
+                idx += 1
+                w_f = jnp.zeros(
+                    (k_f, fold * c, fold * c_out), jnp.float32
+                )
+                for ro in range(fold):
+                    for tap in range(kk):
+                        o = ro + tap * dil - pad
+                        dt = o // fold
+                        ri = o - dt * fold
+                        w_f = w_f.at[
+                            dt - dt_min,
+                            ri * c : (ri + 1) * c,
+                            ro * c_out : (ro + 1) * c_out,
+                        ].add(weight[tap].astype(jnp.float32))
+                ws.append(w_f)
+                bias = p.get("bias")
+                if bias is None:
+                    bias = jnp.zeros((c_out,), jnp.float32)
+                bs.append(jnp.tile(bias.astype(jnp.float32), fold))
+    w_all = jnp.concatenate(ws, axis=0).astype(dtype)
+    bias_all = jnp.stack(bs, axis=0)
+    assert w_all.shape[0] == total
+    return w_all, bias_all
+
+
+def _stage_kernel(
+    x_hbm,  # [B, T_f + 2*halo_f, FC] bf16/f32, HBM (pre-padded)
+    w_ref,  # [sum K_f, FC, FC] VMEM
+    b_ref,  # [n_convs, FC] VMEM f32
+    out_ref,  # [1, tile_f, FC] VMEM block
+    x_tile,  # scratch VMEM [tile_f + 2*halo_f, FC] (input dtype)
+    sem,
+    *,
+    tile_f: int,
+    halo_f: int,
+    t_f: int,
+    plan: typing.Tuple[typing.Tuple[int, int, int], ...],
+    n_res: int,
+    inv_n_res: float,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = tile_f + 2 * halo_f
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_f, rows), :],
+        x_tile,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    # sequence-boundary mask in folded rows (valid global row in [0,t_f))
+    pos = i * tile_f - halo_f + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0
+    )
+    inside = pos < t_f  # left edge handled by host zero-pad (pos >= 0
+    # rows of the first tile start at -halo_f where x is zero; lrelu(0)=0
+    # but later convs add bias, so mask both edges)
+    inside = (pos >= 0) & inside
+
+    # Mosaic's rotate needs 32-bit data. bf16 activations roll through
+    # their packed f32 view (pltpu.bitcast pairs ADJACENT rows, so an
+    # even row shift of bf16 == half that shift on the f32 view) —
+    # per-tap rolls move half the bytes and skip per-tap casts; odd
+    # shifts reuse one f32-roundtrip row-shifted copy per conv.
+    packed = x_tile.dtype == jnp.bfloat16
+    half_rows = rows // 2
+    x0 = x_tile[:] if packed else x_tile[:].astype(jnp.float32)
+
+    def shift_packed(a32, a32_odd, delta):
+        """a[r + delta] for bf16 a given packed views of a and a[r+1]."""
+        if delta % 2 == 0:
+            src, half = a32, (delta // 2) % half_rows
+        else:
+            src, half = a32_odd, ((delta - 1) // 2) % half_rows
+        if half:
+            src = pltpu.roll(src, half_rows - half, 0)
+        return pltpu.bitcast(src, jnp.bfloat16)
+
+    def folded_conv(a, conv_idx):
+        w_off, k_f, dt_min = plan[conv_idx]
+        a = jnp.where(inside, a, jnp.zeros((), a.dtype))
+        acc = jnp.broadcast_to(
+            b_ref[conv_idx][None, :], (rows, a.shape[-1])
+        ).astype(jnp.float32)
+        if packed:
+            a32 = pltpu.bitcast(a, jnp.float32)
+            a_odd = pltpu.roll(a.astype(jnp.float32), rows - 1, 0)
+            a32_odd = pltpu.bitcast(
+                a_odd.astype(jnp.bfloat16), jnp.float32
+            )
+            for t in range(k_f):
+                shifted = shift_packed(a32, a32_odd, dt_min + t)
+                acc = acc + jnp.dot(
+                    shifted,
+                    w_ref[w_off + t],
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            for t in range(k_f):
+                off = (dt_min + t) % rows
+                shifted = pltpu.roll(a, rows - off, 0)  # == a[r+delta]
+                acc = acc + jnp.dot(
+                    shifted.astype(w_ref.dtype),
+                    w_ref[w_off + t],
+                    preferred_element_type=jnp.float32,
+                )
+        return acc.astype(a.dtype)
+
+    conv_idx = 0
+    total = jnp.zeros_like(x0)
+    for _ in range(n_res):
+        state = x0
+        # per dilation step: x += conv2(lrelu(conv1(lrelu(x), d)))
+        for _j in range(len(plan) // (2 * n_res)):
+            xt = folded_conv(_leaky(state), conv_idx)
+            conv_idx += 1
+            xt = folded_conv(_leaky(xt), conv_idx)
+            conv_idx += 1
+            state = state + xt
+        total = total + state
+    total = total * jnp.asarray(inv_n_res, total.dtype)
+
+    # halo_f is a multiple of 8 (even), so the final shift stays packed
+    if packed:
+        centered = pltpu.bitcast(
+            pltpu.roll(
+                pltpu.bitcast(total, jnp.float32),
+                half_rows - halo_f // 2,
+                0,
+            ),
+            jnp.bfloat16,
+        )
+    else:
+        centered = pltpu.roll(total, rows - halo_f, 0)
+    out_ref[0, :, :] = centered[:tile_f].astype(out_ref.dtype)
+
+
+def _pick_tile(t_f: int, max_tile: int = 2048) -> typing.Optional[int]:
+    tile = min(max_tile, t_f)
+    while tile >= 128 and t_f % tile:
+        tile //= 2
+    return tile if t_f % tile == 0 else None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_sizes", "dilations", "fold", "tile_f", "interpret",
+    ),
+)
+def _stage_call(
+    x: jax.Array,  # [B, T, C]
+    w_all: jax.Array,
+    bias_all: jax.Array,
+    *,
+    kernel_sizes: typing.Tuple[int, ...],
+    dilations: typing.Tuple[typing.Tuple[int, ...], ...],
+    fold: int,
+    tile_f: int,
+    interpret: bool = False,
+) -> jax.Array:
+    batch, t, c = x.shape
+    fc = fold * c
+    t_f = t // fold
+    plan, _ = _stage_plan(kernel_sizes, dilations, fold)
+
+    # halo: receptive field of the whole stage in folded rows, rounded
+    # to a sublane multiple for aligned DMA offsets
+    rf = 0
+    for r, k in enumerate(kernel_sizes):
+        span = sum(
+            (k - 1) // 2 * d + (k - 1) // 2 for d in dilations[r]
+        )
+        rf = max(rf, span)
+    halo_rows = -(-rf // fold)  # ceil(rf / fold)
+    halo_f = -(-halo_rows // 8) * 8  # round up to sublane multiple
+
+    x_f = x.reshape(batch, t_f, fc)
+    x_pad = jnp.pad(x_f, ((0, 0), (halo_f, halo_f), (0, 0)))
+
+    kernel = functools.partial(
+        _stage_kernel,
+        tile_f=tile_f,
+        halo_f=halo_f,
+        t_f=t_f,
+        plan=plan,
+        n_res=len(kernel_sizes),
+        inv_n_res=1.0 / len(kernel_sizes),
+    )
+    grid = (batch, t_f // tile_f)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                w_all.shape, lambda b, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                bias_all.shape, lambda b, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_f, fc), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, t_f, fc), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_f + 2 * halo_f, fc), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad, w_all, bias_all)
+    return out.reshape(batch, t, c)
+
+
+def hifigan_stage_fused(
+    resblock_params: typing.Sequence[typing.Mapping],
+    x: jax.Array,  # [B, T, C]
+    kernel_sizes: typing.Sequence[int],
+    dilations: typing.Sequence[typing.Sequence[int]],
+    *,
+    max_tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole MRF stage (mean of resblock1 outputs) as one Pallas kernel.
+
+    Returns None-equivalent fallback conditions via ValueError so the
+    caller can fall back to the XLA path; weight norm must be foldable
+    (inference params).
+    """
+    batch, t, c = x.shape
+    if 128 % c:
+        raise ValueError(f"C={c} does not divide 128")
+    fold = 128 // c
+    if fold < 2:
+        raise ValueError("no folding needed at C>=128")
+    if t % fold:
+        raise ValueError(f"T={t} not divisible by fold={fold}")
+    tile_f = _pick_tile(t // fold, max_tile)
+    if tile_f is None:
+        raise ValueError(f"T/fold={t // fold} has no aligned tile")
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # Mosaic lowering is TPU-only
+
+    ks = tuple(kernel_sizes)
+    ds = tuple(tuple(d) for d in dilations)
+    w_all, bias_all = fold_stage_weights(
+        resblock_params, ks, ds, fold,
+        dtype=jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype,
+    )
+    return _stage_call(
+        x, w_all, bias_all,
+        kernel_sizes=ks, dilations=ds, fold=fold, tile_f=tile_f,
+        interpret=interpret,
+    )

@@ -1,0 +1,108 @@
+"""Fused folded HiFi-GAN stage kernel vs the plain XLA resblock path.
+
+Interpret-mode Pallas on CPU; parity must hold for the small-channel
+stages the kernel targets (C=32 fold 4, C=64 fold 2).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mimic3_tpu.models.vits.hifigan import resblock1
+from mimic3_tpu.ops.stage import hifigan_stage_fused
+
+KERNELS = (3, 7, 11)
+DILATIONS = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+
+
+def _make_params(rng: np.random.RandomState, c: int):
+    out = []
+    for k in KERNELS:
+        rp = {"convs1": {}, "convs2": {}}
+        for j in range(3):
+            for key in ("convs1", "convs2"):
+                rp[key][str(j)] = {
+                    "weight": jnp.asarray(
+                        rng.randn(k, c, c).astype(np.float32) * 0.1
+                    ),
+                    "bias": jnp.asarray(
+                        rng.randn(c).astype(np.float32) * 0.1
+                    ),
+                }
+        out.append(rp)
+    return out
+
+
+def _reference(params, x):
+    xs = None
+    for r, (k, d) in enumerate(zip(KERNELS, DILATIONS)):
+        out = resblock1(params[r], x, k, d)
+        xs = out if xs is None else xs + out
+    return xs / len(KERNELS)
+
+
+@pytest.mark.parametrize("c,t", [(32, 512), (64, 512)])
+def test_stage_fused_matches_xla(c, t):
+    rng = np.random.RandomState(c)
+    params = _make_params(rng, c)
+    x = jnp.asarray(rng.randn(2, t, c).astype(np.float32))
+
+    ref = np.asarray(_reference(params, x))
+    got = np.asarray(
+        hifigan_stage_fused(
+            params, x, KERNELS, DILATIONS, interpret=True
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_stage_fused_multi_tile(  # boundary masking across tiles
+):
+    c, t = 32, 1024
+    rng = np.random.RandomState(7)
+    params = _make_params(rng, c)
+    x = jnp.asarray(rng.randn(1, t, c).astype(np.float32))
+    ref = np.asarray(_reference(params, x))
+    got = np.asarray(
+        hifigan_stage_fused(
+            params, x, KERNELS, DILATIONS, max_tile=64,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("c", [32, 64])
+def test_stage_fused_bf16_packed_rolls(c):
+    """bf16 inputs take the packed-roll fast path; parity within bf16
+    rounding of the XLA bf16 resblock path."""
+    t = 512
+    rng = np.random.RandomState(c + 1)
+    params = _make_params(rng, c)
+    x = jnp.asarray(
+        rng.randn(2, t, c).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    ref = np.asarray(_reference(params, x), np.float32)
+    got = np.asarray(
+        hifigan_stage_fused(
+            params, x, KERNELS, DILATIONS, interpret=True
+        ),
+        np.float32,
+    )
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.05 * scale, rtol=0)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_stage_fused_rejects_bad_channels():
+    rng = np.random.RandomState(0)
+    params = _make_params(rng, 48)
+    x = jnp.zeros((1, 64, 48), jnp.float32)
+    with pytest.raises(ValueError):
+        hifigan_stage_fused(params, x, KERNELS, DILATIONS)

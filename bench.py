@@ -46,6 +46,12 @@ def main() -> int:
         help="Decoder family (mb-istft: the fast decoder for new voices)",
     )
     parser.add_argument(
+        "--no-pallas-stage",
+        action="store_true",
+        help="Disable the fused Pallas small-channel stage kernel "
+        "(auto-on for TPU backends; measured 1.77x on the C=32 stage)",
+    )
+    parser.add_argument(
         "--watchdog-sec",
         type=int,
         default=3300,
@@ -105,7 +111,16 @@ def main() -> int:
         config = ModelConfig(
             num_symbols=130, decoder_type=args.decoder
         )
-    model = VitsModel(config, decoder_dtype=jnp.bfloat16)
+    pallas_stage = (
+        0
+        if args.no_pallas_stage
+        else (32 if jax.default_backend() == "tpu" else 0)
+    )
+    model = VitsModel(
+        config,
+        decoder_dtype=jnp.bfloat16,
+        pallas_stage_max_channels=pallas_stage,
+    )
     params = init_vits_params(jax.random.PRNGKey(0), config)
     params = jax.device_put(params)
 

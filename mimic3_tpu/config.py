@@ -362,10 +362,11 @@ class TpuConfig:
     """Route HiFi-GAN resblocks through the fused Pallas kernel (TPU only;
     benchmark-gated default until profiled faster than plain XLA)."""
 
-    pallas_stage_max_channels: int = 0
+    pallas_stage_max_channels: typing.Optional[int] = None
     """Stages with channels <= this run as one monolithic folded Pallas
     kernel (ops/stage.py) — targets the bandwidth-bound small-channel
-    late HiFi-GAN stages.  0 disables (benchmark-gated)."""
+    late HiFi-GAN stages.  None = auto (32 on TPU — measured 1.77x on
+    the C=32 stage; off elsewhere).  0 disables."""
 
     text_buckets: typing.Tuple[int, ...] = (32, 64, 128, 256, 512)
     """Static phoneme-length buckets; inputs are padded up to the nearest."""

@@ -116,6 +116,11 @@ def hifigan_generator(
             resblock_type == "1"
             and 0 < x.shape[-1] <= pallas_stage_max_channels
             and 128 % x.shape[-1] == 0
+            and x.shape[0] >= 4
+            # batch gate: the win is padded-HBM-traffic elimination,
+            # which scales with batch; measured on v5e the kernel gains
+            # +17.8% at batch 16 but LOSES ~10ms at batch 1 (streaming
+            # and single-stream stay on the XLA path)
         ):
             # small-channel stages: one monolithic folded Pallas kernel
             # for the whole MRF stage (mimic3_tpu/ops/stage.py)

@@ -164,41 +164,40 @@ def _stage_kernel(
     # but later convs add bias, so mask both edges)
     inside = (pos >= 0) & inside
 
-    # Mosaic's rotate needs 32-bit data. bf16 activations roll through
-    # their packed f32 view (pltpu.bitcast pairs ADJACENT rows, so an
-    # even row shift of bf16 == half that shift on the f32 view) —
-    # per-tap rolls move half the bytes and skip per-tap casts; odd
-    # shifts reuse one f32-roundtrip row-shifted copy per conv.
-    packed = x_tile.dtype == jnp.bfloat16
+    # State and elementwise math stay f32 (Mosaic's rotate needs 32-bit
+    # data and v5e has no bf16 vector compare for the leaky-relu).  For
+    # bf16-weight kernels the per-TAP shifts run on the activations'
+    # packed f32 bitcast view (adjacent-row pairing: an even bf16 row
+    # shift == half that shift on the view), halving roll bytes and
+    # feeding the MXU bf16 directly; odd shifts reuse one f32-rolled
+    # copy per conv.
+    packed = w_ref.dtype == jnp.bfloat16
     half_rows = rows // 2
-    x0 = x_tile[:] if packed else x_tile[:].astype(jnp.float32)
-
-    def shift_packed(a32, a32_odd, delta):
-        """a[r + delta] for bf16 a given packed views of a and a[r+1]."""
-        if delta % 2 == 0:
-            src, half = a32, (delta // 2) % half_rows
-        else:
-            src, half = a32_odd, ((delta - 1) // 2) % half_rows
-        if half:
-            src = pltpu.roll(src, half_rows - half, 0)
-        return pltpu.bitcast(src, jnp.bfloat16)
+    x0 = x_tile[:].astype(jnp.float32)
 
     def folded_conv(a, conv_idx):
+        """conv of f32 activations a; returns f32 [rows, FC]."""
         w_off, k_f, dt_min = plan[conv_idx]
-        a = jnp.where(inside, a, jnp.zeros((), a.dtype))
+        a = jnp.where(inside, a, 0.0)  # zero-pad conv semantics
         acc = jnp.broadcast_to(
             b_ref[conv_idx][None, :], (rows, a.shape[-1])
         ).astype(jnp.float32)
         if packed:
-            a32 = pltpu.bitcast(a, jnp.float32)
-            a_odd = pltpu.roll(a.astype(jnp.float32), rows - 1, 0)
+            a32 = pltpu.bitcast(a.astype(jnp.bfloat16), jnp.float32)
             a32_odd = pltpu.bitcast(
-                a_odd.astype(jnp.bfloat16), jnp.float32
+                pltpu.roll(a, rows - 1, 0).astype(jnp.bfloat16),
+                jnp.float32,
             )
             for t in range(k_f):
-                shifted = shift_packed(a32, a32_odd, dt_min + t)
+                delta = dt_min + t
+                if delta % 2 == 0:
+                    src, half = a32, (delta // 2) % half_rows
+                else:
+                    src, half = a32_odd, ((delta - 1) // 2) % half_rows
+                if half:
+                    src = pltpu.roll(src, half_rows - half, 0)
                 acc = acc + jnp.dot(
-                    shifted,
+                    pltpu.bitcast(src, jnp.bfloat16),
                     w_ref[w_off + t],
                     preferred_element_type=jnp.float32,
                 )
@@ -211,7 +210,7 @@ def _stage_kernel(
                     w_ref[w_off + t],
                     preferred_element_type=jnp.float32,
                 )
-        return acc.astype(a.dtype)
+        return acc
 
     conv_idx = 0
     total = jnp.zeros_like(x0)
@@ -225,21 +224,11 @@ def _stage_kernel(
             conv_idx += 1
             state = state + xt
         total = total + state
-    total = total * jnp.asarray(inv_n_res, total.dtype)
+    total = total * inv_n_res
 
-    # halo_f is a multiple of 8 (even), so the final shift stays packed
-    if packed:
-        centered = pltpu.bitcast(
-            pltpu.roll(
-                pltpu.bitcast(total, jnp.float32),
-                half_rows - halo_f // 2,
-                0,
-            ),
-            jnp.bfloat16,
-        )
-    else:
-        centered = pltpu.roll(total, rows - halo_f, 0)
-    out_ref[0, :, :] = centered[:tile_f].astype(out_ref.dtype)
+    out_ref[0, :, :] = pltpu.roll(total, rows - halo_f, 0)[
+        :tile_f
+    ].astype(out_ref.dtype)
 
 
 def _pick_tile(t_f: int, max_tile: int = 2048) -> typing.Optional[int]:

@@ -196,14 +196,18 @@ class VitsSession:
             jnp.float32 if deterministic
             else jnp.dtype(config.tpu.decoder_dtype)
         )
+        pallas_stage = config.tpu.pallas_stage_max_channels
+        if pallas_stage is None:  # auto: on-TPU only (measured 1.77x
+            # on the C=32 stage; interpret-mode on CPU would be slow)
+            pallas_stage = (
+                32 if jax.default_backend() == "tpu" else 0
+            )
         self.model = VitsModel(
             config.model,
             compute_dtype=compute_dtype,
             decoder_dtype=decoder_dtype,
             use_pallas=config.tpu.use_pallas,
-            pallas_stage_max_channels=(
-                config.tpu.pallas_stage_max_channels
-            ),
+            pallas_stage_max_channels=pallas_stage,
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, dict(params))
         self.mesh = mesh

@@ -179,9 +179,13 @@ def _stage_kernel(
         """conv of f32 activations a; returns f32 [rows, FC]."""
         w_off, k_f, dt_min = plan[conv_idx]
         a = jnp.where(inside, a, 0.0)  # zero-pad conv semantics
-        acc = jnp.broadcast_to(
+        bias = jnp.broadcast_to(
             b_ref[conv_idx][None, :], (rows, a.shape[-1])
         ).astype(jnp.float32)
+        # two independent accumulation chains so tap t+1's roll/matmul
+        # can issue while tap t's matmul drains (a single chain
+        # serializes VPU rolls against MXU work)
+        accs = [bias, jnp.zeros_like(bias)]
         if packed:
             a32 = pltpu.bitcast(a.astype(jnp.bfloat16), jnp.float32)
             a32_odd = pltpu.bitcast(
@@ -196,7 +200,7 @@ def _stage_kernel(
                     src, half = a32_odd, ((delta - 1) // 2) % half_rows
                 if half:
                     src = pltpu.roll(src, half_rows - half, 0)
-                acc = acc + jnp.dot(
+                accs[t % 2] = accs[t % 2] + jnp.dot(
                     pltpu.bitcast(src, jnp.bfloat16),
                     w_ref[w_off + t],
                     preferred_element_type=jnp.float32,
@@ -205,26 +209,30 @@ def _stage_kernel(
             for t in range(k_f):
                 off = (dt_min + t) % rows
                 shifted = pltpu.roll(a, rows - off, 0)  # == a[r+delta]
-                acc = acc + jnp.dot(
+                accs[t % 2] = accs[t % 2] + jnp.dot(
                     shifted.astype(w_ref.dtype),
                     w_ref[w_off + t],
                     preferred_element_type=jnp.float32,
                 )
-        return acc
+        return accs[0] + accs[1]
 
-    conv_idx = 0
-    total = jnp.zeros_like(x0)
-    for _ in range(n_res):
-        state = x0
-        # per dilation step: x += conv2(lrelu(conv1(lrelu(x), d)))
-        for _j in range(len(plan) // (2 * n_res)):
-            xt = folded_conv(_leaky(state), conv_idx)
-            conv_idx += 1
-            xt = folded_conv(_leaky(xt), conv_idx)
-            conv_idx += 1
-            state = state + xt
-        total = total + state
-    total = total * inv_n_res
+    # per dilation step: x += conv2(lrelu(conv1(lrelu(x), d))).
+    # The n_res resblock chains are independent — interleaving their
+    # convs gives the scheduler independent VPU/MXU work between the
+    # taps of each (dependent) chain.
+    n_steps = len(plan) // (2 * n_res)
+    states = [x0] * n_res
+    for j in range(n_steps):
+        xts = [
+            folded_conv(_leaky(states[r]), r * 2 * n_steps + j * 2)
+            for r in range(n_res)
+        ]
+        xts = [
+            folded_conv(_leaky(xt), r * 2 * n_steps + j * 2 + 1)
+            for r, xt in enumerate(xts)
+        ]
+        states = [s + xt for s, xt in zip(states, xts)]
+    total = sum(states[1:], states[0]) * inv_n_res
 
     out_ref[0, :, :] = pltpu.roll(total, rows - halo_f, 0)[
         :tile_f

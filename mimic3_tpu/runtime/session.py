@@ -77,8 +77,13 @@ def enable_compilation_cache() -> None:
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache EVERYTHING: compiles here go through a remote compile
+        # service, so even sub-second executables cost a network round
+        # trip (measured: 126 tiny eager compiles at ~0.5s each
+        # dominate cold start once the big executables hit the cache —
+        # scripts/verify_compile_cache.py)
         jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1.0
+            "jax_persistent_cache_min_compile_time_secs", 0.0
         )
         _LOGGER.debug("XLA compilation cache: %s", cache_dir)
     except Exception as err:  # cache is best-effort

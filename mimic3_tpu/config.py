@@ -376,6 +376,12 @@ class TpuConfig:
     )
     """Static spectrogram-frame buckets for the decode stage."""
 
+    speculative_decode: bool = True
+    """Dispatch the decode at a predicted frame bucket before the
+    duration-totals host sync (serving hides one device round trip per
+    request; mispredictions fall back to a normal decode).  Prior
+    noise is frame-indexed, so speculation never changes the audio."""
+
     batch_buckets: typing.Tuple[int, ...] = (1, 2, 4, 8, 16)
     """Static batch-size buckets; the scheduler's variable batches are
     padded up to the nearest so intermediate batch sizes never trigger

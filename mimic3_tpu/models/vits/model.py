@@ -634,9 +634,24 @@ class VitsModel:
         )
 
         if prior_noise is None:
-            prior_noise = jax.random.normal(
-                jax.random.fold_in(rng, 1), m_p_f.shape, jnp.float32
+            # FRAME-INDEXED noise: the value at global frame f depends
+            # only on (rng, f, batch slot), never on num_frames or
+            # frame_offset.  This makes audio independent of the frame
+            # bucket (so serving can decode speculatively at a
+            # predicted bucket) and makes overlapped streaming windows
+            # seam-exact by construction (same frame -> same noise).
+            base = jax.random.fold_in(rng, 1)
+            frames = frame_offset + jnp.arange(num_frames)
+            keys = jax.vmap(lambda f: jax.random.fold_in(base, f))(
+                frames
             )
+            b = m_p_f.shape[0]
+            noise = jax.vmap(
+                lambda k: jax.random.normal(
+                    k, (b, m_p_f.shape[-1]), jnp.float32
+                )
+            )(keys)  # [F, B, C]
+            prior_noise = jnp.transpose(noise, (1, 0, 2))
         z_p = m_p_f + prior_noise * jnp.exp(logs_p_f) * noise_scale
         z_p = z_p * y_mask
 

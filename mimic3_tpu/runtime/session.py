@@ -249,6 +249,12 @@ class VitsSession:
         self._call_counter = 0
         self._lock = threading.Lock()
         self.batcher = None  # optional server-side BatchScheduler
+        # speculative decode: running estimate of frames per phoneme at
+        # unit length_scale, None until the first observation
+        self.speculative_decode = bool(
+            getattr(config.tpu, "speculative_decode", True)
+        )
+        self._ema_frames_per_phoneme: typing.Optional[float] = None
 
         multispeaker = config.model.is_multispeaker
 
@@ -275,17 +281,15 @@ class VitsSession:
             return m_p, logs_p
 
         def dec_chunk_fn(
-            params, ids, lengths, durations, noise_scale, sid,
-            prior_noise, frame_offset, m_p, logs_p, *, num_frames,
+            params, ids, lengths, durations, rng, noise_scale, sid,
+            frame_offset, m_p, logs_p, *, num_frames,
         ):
-            import jax as _jx
-
+            # noise is frame-indexed inside decode_frames, so windows
+            # at different offsets/sizes agree on shared frames
             return self.model.decode_frames(
-                params, ids, lengths, durations, num_frames,
-                _jx.random.PRNGKey(0),  # unused: noise is explicit
+                params, ids, lengths, durations, num_frames, rng,
                 noise_scale,
                 sid=sid if multispeaker else None,
-                prior_noise=prior_noise,
                 frame_offset=frame_offset,
                 enc_stats=(m_p, logs_p),
             )
@@ -438,10 +442,47 @@ class VitsSession:
             jnp.float32(noise_w),
             sid_j,
         )
+
+        # Speculative decode: dispatch the decode at a PREDICTED frame
+        # bucket before the totals host sync, so the device starts the
+        # expensive stage while the round trip is in flight.  Safe
+        # because prior noise is frame-indexed (decode_frames): a
+        # decode at any bucket >= the true frame count yields identical
+        # valid samples.  A mispredicted (too-small) bucket just falls
+        # back to a normal decode.
+        spec_bucket = None
+        spec_result = None
+        with self._lock:
+            est_fpp = self._ema_frames_per_phoneme
+        if (
+            self.speculative_decode
+            and not self.allow_bucket_growth
+            and est_fpp is not None
+        ):
+            est = (
+                est_fpp * float(lengths[:batch].max())
+                * float(length_scale) * 1.15
+            )
+            spec_bucket = pick_bucket(
+                min(int(est) + 1, self.frame_buckets[-1]),
+                self.frame_buckets,
+            )
+            spec_result = self._dec_fn(
+                self.params,
+                ids_j,
+                lengths_j,
+                durations,
+                rng,
+                jnp.float32(noise_scale),
+                sid_j,
+                num_frames=spec_bucket,
+            )
+
         totals_np = np.asarray(totals)  # host sync (tiny transfer)
         needed = int(totals_np[:batch].max())
         if not self.allow_bucket_growth:
             max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
+        truncated = needed > max_frames_cap
         if needed > max_frames_cap:
             _LOGGER.warning(
                 "Output of %d frames exceeds cap %d; truncating",
@@ -461,16 +502,36 @@ class VitsSession:
             needed, self.frame_buckets, grow=self.allow_bucket_growth
         )
 
-        audio, sample_lengths = self._dec_fn(
-            self.params,
-            ids_j,
-            lengths_j,
-            durations,
-            rng,
-            jnp.float32(noise_scale),
-            sid_j,
-            num_frames=f_bucket,
+        # update the frames-per-phoneme estimate (normalized to unit
+        # length_scale) for the next call's speculation
+        obs = float(totals_np[:batch].sum()) / max(
+            1.0, float(lengths[:batch].sum()) * float(length_scale)
         )
+        obs = min(max(obs, 0.25), 64.0)
+        with self._lock:
+            prev = self._ema_frames_per_phoneme
+            self._ema_frames_per_phoneme = (
+                obs if prev is None else 0.9 * prev + 0.1 * obs
+            )
+
+        if (
+            spec_result is not None
+            and spec_bucket >= f_bucket
+            and not truncated
+        ):
+            audio, sample_lengths = spec_result  # prediction held
+            f_bucket = spec_bucket
+        else:
+            audio, sample_lengths = self._dec_fn(
+                self.params,
+                ids_j,
+                lengths_j,
+                durations,
+                rng,
+                jnp.float32(noise_scale),
+                sid_j,
+                num_frames=f_bucket,
+            )
         audio_np = np.asarray(audio, dtype=np.float32)
         sample_lengths_np = np.asarray(sample_lengths)
 
@@ -598,30 +659,21 @@ class VitsSession:
         # is dispatched BEFORE the totals host sync and computes while
         # that round trip is in flight.  Through a network-attached TPU
         # the sync is a large share of time-to-first-audio
-        # (docs/STATUS.md round-1 streaming profile).
-        inter = self.model.hp.inter_channels
+        # (docs/STATUS.md round-1 streaming profile).  Prior noise is
+        # frame-indexed in-graph (decode_frames), so no host noise is
+        # generated or transferred, and overlapping windows agree on
+        # shared frames by construction.
         first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
         window0 = first_cf + 2 * overlap
-        noise_seed = seed if seed is not None else self._call_counter
-        if self.deterministic or noise_scale == 0.0:
-            noise0 = np.zeros((1, window0, inter), np.float32)
-        else:
-            # rows [overlap, overlap+window0) of the same prefix-stable
-            # randn stream that noise_full below regenerates in full
-            noise0 = (
-                np.random.RandomState(noise_seed)
-                .randn(1, overlap + window0, inter)
-                .astype(np.float32)[:, overlap:]
-            )
         m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
         spec_audio, _ = self._dec_chunk_fn(
             self.params,
             ids_j,
             lengths_j,
             durations,
+            rng,
             jnp.float32(noise_scale),
             sid_j,
-            self._put(noise0, sharded=False),
             jnp.int32(0),
             m_p,
             logs_p,
@@ -654,18 +706,6 @@ class VitsSession:
         while grid_end < total:
             sizes.append(chunk_frames)
             grid_end += chunk_frames
-        if self.deterministic or noise_scale == 0.0:
-            noise_full = np.zeros(
-                (1, grid_end + 2 * overlap, inter), np.float32
-            )
-        else:
-            # row-major randn is prefix-stable in the time axis, so the
-            # noise at global frame f is the same for any grid/length
-            # (and matches the speculative first window's rows)
-            noise_rng = np.random.RandomState(noise_seed)
-            noise_full = noise_rng.randn(
-                1, grid_end + 2 * overlap, inter
-            ).astype(np.float32)
 
         emitted = 0
         start = 0
@@ -681,27 +721,14 @@ class VitsSession:
                 # already decoded, overlapped with the totals sync
                 audio = spec_audio
             else:
-                # global frame f always reads noise_full[f + overlap],
-                # so overlapping windows see identical noise (seam-exact)
-                noise_slice = noise_full[:, off + overlap :][:, :window]
-                # keep a static noise window shape
-                if noise_slice.shape[1] < window:
-                    noise_slice = np.pad(
-                        noise_slice,
-                        (
-                            (0, 0),
-                            (0, window - noise_slice.shape[1]),
-                            (0, 0),
-                        ),
-                    )
                 audio, _ = self._dec_chunk_fn(
                     self.params,
                     ids_j,
                     lengths_j,
                     durations,
+                    rng,
                     jnp.float32(noise_scale),
                     sid_j,
-                    self._put(noise_slice, sharded=False),
                     jnp.int32(off),
                     m_p,
                     logs_p,
@@ -783,12 +810,10 @@ class VitsSession:
                 jnp.float32(1.0), jnp.float32(0.8), sid,
             )
             m_p, logs_p = self._enc_fn(self.params, ids, lengths)
-            inter = self.model.hp.inter_channels
             for w in chunk_windows:
-                noise = jnp.zeros((1, w, inter), jnp.float32)
                 self._dec_chunk_fn(
-                    self.params, ids, lengths, durations,
-                    jnp.float32(0.667), sid, noise, jnp.int32(0),
+                    self.params, ids, lengths, durations, rng,
+                    jnp.float32(0.667), sid, jnp.int32(0),
                     m_p, logs_p, num_frames=w,
                 )
                 n_chunk_compiles += 1

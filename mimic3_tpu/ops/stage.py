@@ -326,7 +326,7 @@ def hifigan_stage_fused(
     kernel_sizes: typing.Sequence[int],
     dilations: typing.Sequence[typing.Sequence[int]],
     *,
-    max_tile: int = 1024,
+    max_tile: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole MRF stage (mean of resblock1 outputs) as one Pallas kernel.
@@ -343,6 +343,10 @@ def hifigan_stage_fused(
         raise ValueError("no folding needed at C>=128")
     if t % fold:
         raise ValueError(f"T={t} not divisible by fold={fold}")
+    # fold<4 carries a bigger folded-weight table (more K_f taps):
+    # tile 2048 blows the 16 MB VMEM budget there (measured), 1024 fits
+    if fold < 4:
+        max_tile = min(max_tile, 1024)
     tile_f = _pick_tile(t // fold, max_tile)
     if tile_f is None:
         raise ValueError(f"T/fold={t // fold} has no aligned tile")

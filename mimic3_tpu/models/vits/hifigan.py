@@ -104,26 +104,50 @@ def hifigan_generator(
         res_fn = resblock1 if resblock_type == "1" else resblock2
 
     for i, (u, k) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
-        x = leaky_relu(x, LRELU_SLOPE)
-        x = conv_transpose1d(
-            x, params["ups"][str(i)], stride=u, padding=(k - u) // 2
-        )
         stage_params = [
             params["resblocks"][str(i * num_kernels + j)]
             for j in range(num_kernels)
         ]
+        # small-channel stages: one monolithic folded Pallas kernel for
+        # the whole MRF stage, with the preceding transposed-conv
+        # upsampler fused in when its stride aligns the foldings
+        # (mimic3_tpu/ops/stage.py).  Batch gate: the win is
+        # padded-HBM-traffic elimination, which scales with batch;
+        # measured on v5e the kernel gains +18-26% throughput at batch
+        # 16 but LOSES ~10ms at batch 1 (streaming and single-stream
+        # stay on the XLA path).
+        c_out_est = x.shape[-1] // 2
+        if (
+            resblock_type == "1"
+            and 0 < c_out_est <= pallas_stage_max_channels
+            and 128 % c_out_est == 0
+            and x.shape[0] >= 4
+        ):
+            from ...ops.stage import hifigan_stage_fused
+
+            try:
+                x = hifigan_stage_fused(
+                    stage_params, x,
+                    resblock_kernel_sizes, resblock_dilation_sizes,
+                    ups_params=params["ups"][str(i)],
+                    ups_stride=u,
+                    ups_padding=(k - u) // 2,
+                )
+                continue
+            except ValueError:
+                pass  # unsupported shape: fall through to XLA path
+        x = leaky_relu(x, LRELU_SLOPE)
+        x = conv_transpose1d(
+            x, params["ups"][str(i)], stride=u, padding=(k - u) // 2
+        )
         if (
             resblock_type == "1"
             and 0 < x.shape[-1] <= pallas_stage_max_channels
             and 128 % x.shape[-1] == 0
             and x.shape[0] >= 4
-            # batch gate: the win is padded-HBM-traffic elimination,
-            # which scales with batch; measured on v5e the kernel gains
-            # +17.8% at batch 16 but LOSES ~10ms at batch 1 (streaming
-            # and single-stream stay on the XLA path)
         ):
-            # small-channel stages: one monolithic folded Pallas kernel
-            # for the whole MRF stage (mimic3_tpu/ops/stage.py)
+            # ups not fusable (stride/channel mismatch) but the stage
+            # itself still is
             from ...ops.stage import hifigan_stage_fused
 
             try:
@@ -133,7 +157,7 @@ def hifigan_generator(
                 )
                 continue
             except ValueError:
-                pass  # unsupported shape: fall through to XLA path
+                pass
         xs = None
         for j, (rk, rd) in enumerate(
             zip(resblock_kernel_sizes, resblock_dilation_sizes)

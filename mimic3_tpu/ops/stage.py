@@ -71,6 +71,61 @@ def _stage_plan(
     return tuple(plan), offset
 
 
+def transpose_span(
+    kernel_size: int, stride: int, padding: int,
+    fold_in: int, fold_out: int,
+) -> typing.Tuple[int, int]:
+    """(dt_min, dt_max) in INPUT folded rows of a transposed conv.
+
+    Output sample t = fold_out*r + jo reads input sample
+    m = (t + padding - j) / stride  (taps j where that divides evenly);
+    in input-folded rows m = fold_in*(r + dt) + ri.
+    """
+    dts = []
+    for jo in range(fold_out):
+        for j in range(kernel_size):
+            u = jo + padding - j
+            if u % stride:
+                continue
+            e = u // stride
+            dts.append(e // fold_in)
+    return min(dts), max(dts)
+
+
+def fold_transpose_weight(
+    weight: jax.Array,  # [K, Cin, Cout]
+    stride: int,
+    padding: int,
+    fold_in: int,
+    fold_out: int,
+) -> typing.Tuple[jax.Array, int]:
+    """Folded block weight for a transposed conv: (w_f [K_f, fold_in*Cin,
+    fold_out*Cout], dt_min).  Same trace-time assembly as the regular
+    folded conv (fold_stage_weights)."""
+    k, c_in, c_out = weight.shape
+    dt_min, dt_max = transpose_span(
+        k, stride, padding, fold_in, fold_out
+    )
+    k_f = dt_max - dt_min + 1
+    w_f = jnp.zeros(
+        (k_f, fold_in * c_in, fold_out * c_out), jnp.float32
+    )
+    for jo in range(fold_out):
+        for j in range(k):
+            u = jo + padding - j
+            if u % stride:
+                continue
+            e = u // stride
+            dt = e // fold_in
+            ri = e - dt * fold_in
+            w_f = w_f.at[
+                dt - dt_min,
+                ri * c_in : (ri + 1) * c_in,
+                jo * c_out : (jo + 1) * c_out,
+            ].add(weight[j].astype(jnp.float32))
+    return w_f, dt_min
+
+
 def fold_stage_weights(
     resblock_params: typing.Sequence[typing.Mapping],
     kernel_sizes: typing.Sequence[int],
@@ -142,6 +197,7 @@ def _stage_kernel(
     plan: typing.Tuple[typing.Tuple[int, int, int], ...],
     n_res: int,
     inv_n_res: float,
+    has_ups: bool = False,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -216,19 +272,31 @@ def _stage_kernel(
                 )
         return accs[0] + accs[1]
 
+    # optional fused transposed-conv upsampler: one extra folded conv
+    # at plan[0] mapping the previous stage's folded layout onto this
+    # stage's (input rows and output rows are 1:1 aligned)
+    base = 0
+    if has_ups:
+        x0 = folded_conv(_leaky(x0), 0)
+        base = 1
+
     # per dilation step: x += conv2(lrelu(conv1(lrelu(x), d))).
     # The n_res resblock chains are independent — interleaving their
     # convs gives the scheduler independent VPU/MXU work between the
     # taps of each (dependent) chain.
-    n_steps = len(plan) // (2 * n_res)
+    n_steps = (len(plan) - base) // (2 * n_res)
     states = [x0] * n_res
     for j in range(n_steps):
         xts = [
-            folded_conv(_leaky(states[r]), r * 2 * n_steps + j * 2)
+            folded_conv(
+                _leaky(states[r]), base + r * 2 * n_steps + j * 2
+            )
             for r in range(n_res)
         ]
         xts = [
-            folded_conv(_leaky(xt), r * 2 * n_steps + j * 2 + 1)
+            folded_conv(
+                _leaky(xt), base + r * 2 * n_steps + j * 2 + 1
+            )
             for r, xt in enumerate(xts)
         ]
         states = [s + xt for s, xt in zip(states, xts)]
@@ -249,38 +317,25 @@ def _pick_tile(t_f: int, max_tile: int = 2048) -> typing.Optional[int]:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kernel_sizes", "dilations", "fold", "tile_f", "interpret",
+        "plan", "n_res", "has_ups", "t_f", "tile_f", "halo_f",
+        "interpret",
     ),
 )
 def _stage_call(
-    x: jax.Array,  # [B, T, C]
+    x_pad: jax.Array,  # [B, t_f + 2*halo_f, 128] (folded + padded)
     w_all: jax.Array,
     bias_all: jax.Array,
     *,
-    kernel_sizes: typing.Tuple[int, ...],
-    dilations: typing.Tuple[typing.Tuple[int, ...], ...],
-    fold: int,
+    plan: typing.Tuple[typing.Tuple[int, int, int], ...],
+    n_res: int,
+    has_ups: bool,
+    t_f: int,
     tile_f: int,
+    halo_f: int,
     interpret: bool = False,
 ) -> jax.Array:
-    batch, t, c = x.shape
-    fc = fold * c
-    t_f = t // fold
-    plan, _ = _stage_plan(kernel_sizes, dilations, fold)
-
-    # halo: receptive field of the whole stage in folded rows, rounded
-    # to a sublane multiple for aligned DMA offsets
-    rf = 0
-    for r, k in enumerate(kernel_sizes):
-        span = sum(
-            (k - 1) // 2 * d + (k - 1) // 2 for d in dilations[r]
-        )
-        rf = max(rf, span)
-    halo_rows = -(-rf // fold)  # ceil(rf / fold)
-    halo_f = -(-halo_rows // 8) * 8  # round up to sublane multiple
-
-    x_f = x.reshape(batch, t_f, fc)
-    x_pad = jnp.pad(x_f, ((0, 0), (halo_f, halo_f), (0, 0)))
+    batch = x_pad.shape[0]
+    fc = x_pad.shape[-1]
 
     kernel = functools.partial(
         _stage_kernel,
@@ -288,11 +343,12 @@ def _stage_call(
         halo_f=halo_f,
         t_f=t_f,
         plan=plan,
-        n_res=len(kernel_sizes),
-        inv_n_res=1.0 / len(kernel_sizes),
+        n_res=n_res,
+        inv_n_res=1.0 / n_res,
+        has_ups=has_ups,
     )
     grid = (batch, t_f // tile_f)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -310,58 +366,135 @@ def _stage_call(
             (1, tile_f, fc), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, t_f, fc), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, t_f, fc), x_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_f + 2 * halo_f, fc), x.dtype),
+            pltpu.VMEM((tile_f + 2 * halo_f, fc), x_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(x_pad, w_all, bias_all)
-    return out.reshape(batch, t, c)
 
 
 def hifigan_stage_fused(
     resblock_params: typing.Sequence[typing.Mapping],
-    x: jax.Array,  # [B, T, C]
+    x: jax.Array,  # [B, T, C] — pre-upsample activation if ups_params
     kernel_sizes: typing.Sequence[int],
     dilations: typing.Sequence[typing.Sequence[int]],
     *,
+    ups_params: typing.Optional[typing.Mapping] = None,
+    ups_stride: int = 2,
+    ups_padding: typing.Optional[int] = None,
     max_tile: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole MRF stage (mean of resblock1 outputs) as one Pallas kernel.
 
-    Returns None-equivalent fallback conditions via ValueError so the
-    caller can fall back to the XLA path; weight norm must be foldable
-    (inference params).
+    With ``ups_params`` the preceding lrelu + transposed-conv upsampler
+    is fused in as one extra folded matmul group: ``x`` is then the
+    PRE-upsample activation and the returned stage output is at
+    ``T * ups_stride`` samples and the upsampler's output channels.
+
+    Unsupported shapes raise ValueError so the caller can fall back to
+    the XLA path; weight norm must be foldable (inference params).
     """
+    from ..models.vits.layers import fold_weight_norm
+
     batch, t, c = x.shape
-    if 128 % c:
-        raise ValueError(f"C={c} does not divide 128")
-    fold = 128 // c
+    dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+
+    ups_w = None
+    if ups_params is not None:
+        p = fold_weight_norm(ups_params)
+        ups_w = p["weight"]  # [K, Cin, Cout]
+        k_u, c_in, c_out = ups_w.shape
+        if c_in != c or 128 % c_in or 128 % c_out:
+            raise ValueError(
+                f"ups channels {c_in}->{c_out} not foldable"
+            )
+        fold_in = 128 // c_in
+        fold = 128 // c_out  # output folding (stage layout)
+        if fold != ups_stride * fold_in:
+            raise ValueError(
+                f"stride {ups_stride} misaligns foldings "
+                f"{fold_in}->{fold}"
+            )
+        if ups_padding is None:
+            ups_padding = (k_u - ups_stride) // 2
+        t_out = t * ups_stride
+    else:
+        if 128 % c:
+            raise ValueError(f"C={c} does not divide 128")
+        fold = 128 // c
+        t_out = t
     if fold < 2:
         raise ValueError("no folding needed at C>=128")
-    if t % fold:
-        raise ValueError(f"T={t} not divisible by fold={fold}")
+    if t_out % fold:
+        raise ValueError(f"T={t_out} not divisible by fold={fold}")
+    t_f = t_out // fold
     # fold<4 carries a bigger folded-weight table (more K_f taps):
     # tile 2048 blows the 16 MB VMEM budget there (measured), 1024 fits
     if fold < 4:
         max_tile = min(max_tile, 1024)
-    tile_f = _pick_tile(t // fold, max_tile)
+    tile_f = _pick_tile(t_f, max_tile)
     if tile_f is None:
-        raise ValueError(f"T/fold={t // fold} has no aligned tile")
+        raise ValueError(f"T/fold={t_f} has no aligned tile")
 
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # Mosaic lowering is TPU-only
 
     ks = tuple(kernel_sizes)
     ds = tuple(tuple(d) for d in dilations)
+    plan, _ = _stage_plan(ks, ds, fold)
     w_all, bias_all = fold_stage_weights(
-        resblock_params, ks, ds, fold,
-        dtype=jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype,
+        resblock_params, ks, ds, fold, dtype=dtype
     )
-    return _stage_call(
-        x, w_all, bias_all,
-        kernel_sizes=ks, dilations=ds, fold=fold, tile_f=tile_f,
+
+    has_ups = ups_params is not None
+    if has_ups:
+        w_u, dt_min_u = fold_transpose_weight(
+            ups_w, ups_stride, ups_padding, fold_in, fold
+        )
+        k_f_u = w_u.shape[0]
+        bias_u = ups_params.get("bias")
+        if bias_u is None:
+            bias_u = jnp.zeros((c_out,), jnp.float32)
+        # prepend the ups conv: plan offsets shift by its tap count
+        plan = ((0, k_f_u, dt_min_u),) + tuple(
+            (off + k_f_u, k_f, dm) for off, k_f, dm in plan
+        )
+        w_all = jnp.concatenate(
+            [w_u.astype(w_all.dtype), w_all], axis=0
+        )
+        bias_all = jnp.concatenate(
+            [
+                jnp.tile(bias_u.astype(jnp.float32), fold)[None, :],
+                bias_all,
+            ],
+            axis=0,
+        )
+
+    # halo: stage receptive field in folded rows (+ the ups conv's own
+    # input span), rounded to a sublane multiple for aligned DMA
+    rf = 0
+    for r, k in enumerate(ks):
+        span = sum((k - 1) // 2 * d + (k - 1) // 2 for d in ds[r])
+        rf = max(rf, span)
+    halo_rows = -(-rf // fold)  # ceil(rf / fold)
+    if has_ups:
+        halo_rows += max(
+            abs(plan[0][2]), plan[0][1] + plan[0][2] - 1, 1
+        )
+    halo_f = -(-halo_rows // 8) * 8  # round up to sublane multiple
+
+    fold_x = fold_in if has_ups else fold
+    x_f = x.reshape(batch, t // fold_x, fold_x * c)
+    x_pad = jnp.pad(x_f, ((0, 0), (halo_f, halo_f), (0, 0)))
+
+    out = _stage_call(
+        x_pad, w_all, bias_all,
+        plan=plan, n_res=len(ks), has_ups=has_ups,
+        t_f=t_f, tile_f=tile_f, halo_f=halo_f,
         interpret=interpret,
     )
+    c_final = 128 // fold
+    return out.reshape(batch, t_out, c_final)

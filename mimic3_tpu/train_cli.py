@@ -65,8 +65,20 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
         init_train_state,
         make_train_step,
     )
-    from .parallel import batch_sharding, make_mesh
+    from .parallel import (
+        batch_sharding,
+        initialize_distributed,
+        make_global_mesh,
+        make_mesh,
+    )
     from .runtime.dataset import batches, load_metadata, make_frontend
+
+    # multi-host / multi-slice: coordination via jax.distributed when
+    # the standard env vars are present (no-op single-process); the
+    # mesh then spans every process's devices with slices contiguous
+    # on dp, so gradient psums reduce over ICI first and only the
+    # cross-slice step rides DCN (SURVEY.md §2.4 comm-backend plan)
+    multi_process = initialize_distributed()
 
     voice_dir = Path(args.voice_dir)
     config = TrainingConfig.load_path(voice_dir / "config.json")
@@ -81,7 +93,7 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
         batch_size += n_devices - batch_size % n_devices
         _LOGGER.info("Rounded batch size to %d (devices=%d)",
                      batch_size, n_devices)
-    mesh = make_mesh()
+    mesh = make_global_mesh() if multi_process else make_mesh()
 
     _LOGGER.info("Phonemizing dataset...")
     frontend = make_frontend(voice_dir)

@@ -100,6 +100,45 @@ def test_stage_fused_bf16_packed_rolls(c):
     assert corr > 0.999, corr
 
 
+def test_stage_fused_with_upsampler():
+    """Fused lrelu + ConvTranspose1d(k4 s2) + stage == the XLA chain."""
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits.layers import (
+        LRELU_SLOPE,
+        conv_transpose1d,
+        leaky_relu,
+    )
+
+    c_in, c_out, t = 64, 32, 256
+    rng = np.random.RandomState(17)
+    params = _make_params(rng, c_out)
+    ups = {
+        "weight": jnp.asarray(
+            rng.randn(4, c_in, c_out).astype(np.float32) * 0.1
+        ),
+        "bias": jnp.asarray(
+            rng.randn(c_out).astype(np.float32) * 0.1
+        ),
+    }
+    h = jnp.asarray(rng.randn(2, t, c_in).astype(np.float32))
+
+    x = leaky_relu(h, LRELU_SLOPE)
+    x = conv_transpose1d(x, ups, stride=2, padding=1)
+    assert x.shape == (2, 2 * t, c_out)
+    ref = np.asarray(_reference(params, x))
+
+    got = np.asarray(
+        hifigan_stage_fused(
+            params, h, KERNELS, DILATIONS,
+            ups_params=ups, ups_stride=2, ups_padding=1,
+            interpret=True,
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_stage_fused_rejects_bad_channels():
     rng = np.random.RandomState(0)
     params = _make_params(rng, 48)

@@ -40,6 +40,7 @@ class ServerConfig:
     max_batch: int = 16
     batch_delay_ms: float = 5.0
     warmup: bool = False
+    profile_dir: typing.Optional[str] = None
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -119,6 +120,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Pre-compile all buckets for preloaded voices at startup",
     )
     parser.add_argument(
+        "--profile-dir",
+        help="Directory for jax.profiler traces captured via "
+        "POST /api/profile (TensorBoard/xprof format)",
+    )
+    parser.add_argument(
         "--dp", type=int, default=0,
         help="Serve data-parallel over this many devices (batch "
         "dimension sharded across a jax mesh); -1 = all devices, "
@@ -165,6 +171,7 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
         max_batch=args.max_batch,
         batch_delay_ms=args.batch_delay_ms,
         warmup=args.warmup,
+        profile_dir=args.profile_dir,
     )
 
 

@@ -135,6 +135,7 @@ class TtsApp:
         # guarded by a lock so /api/stats reads a consistent snapshot
         # while worker threads load voices
         self._voices_lock = threading.Lock()
+        self._profile_lock = threading.Lock()
         self._voice_sessions: typing.Dict[str, typing.Any] = {}
         self.cache_dir: typing.Optional[Path] = (
             Path(config.cache_dir) if config.cache_dir else None
@@ -560,6 +561,45 @@ def build_server(app: TtsApp) -> HttpServer:
             content_type="application/json",
         )
 
+    @server.route("/api/profile", methods=("POST",))
+    async def api_profile(request: Request):
+        """Capture a jax.profiler device trace (mimic3-tpu extension;
+        SURVEY §5 tracing plan).  ``?seconds=N`` (default 3, max 60)
+        records synthesis activity into ``--profile-dir`` (or a temp
+        dir) for TensorBoard/xprof; one capture at a time."""
+        import tempfile
+
+        try:
+            seconds = min(float(request.arg("seconds", "3")), 60.0)
+        except ValueError:
+            seconds = 3.0
+        profile_dir = getattr(app.config, "profile_dir", None) or (
+            tempfile.mkdtemp(prefix="mimic3_profile_")
+        )
+        if not app._profile_lock.acquire(blocking=False):
+            return HttpResponse(
+                body=b'{"error": "profile capture already running"}',
+                status=409,
+                content_type="application/json",
+            )
+        try:
+            import asyncio
+
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+            try:
+                await asyncio.sleep(seconds)
+            finally:
+                jax.profiler.stop_trace()
+        finally:
+            app._profile_lock.release()
+        payload = {"profile_dir": profile_dir, "seconds": seconds}
+        return HttpResponse(
+            body=json.dumps(payload).encode(),
+            content_type="application/json",
+        )
+
     @server.route("/process", methods=("GET", "POST"))
     async def marytts_process(request: Request):
         from urllib.parse import parse_qs
@@ -700,6 +740,12 @@ def _openapi_spec() -> dict:
             "/api/stats": {
                 "get": {
                     "summary": "Serving metrics (batching, RTF)",
+                    "responses": {"200": {"description": "JSON"}},
+                }
+            },
+            "/api/profile": {
+                "post": {
+                    "summary": "Capture a jax.profiler device trace",
                     "responses": {"200": {"description": "JSON"}},
                 }
             },

@@ -200,6 +200,18 @@ def test_stats(server):
     assert stats["scheduler"]["batches"] >= 1
 
 
+def test_profile_capture(server):
+    """POST /api/profile records a jax.profiler trace directory."""
+    status, body, _ = post("/api/profile?seconds=0.2", "")
+    assert status == 200, body
+    payload = json.loads(body)
+    assert payload["seconds"] == 0.2
+    trace_dir = Path(payload["profile_dir"])
+    assert trace_dir.is_dir()
+    # xprof writes plugins/profile/<run>/...
+    assert list(trace_dir.rglob("*")), "trace directory is empty"
+
+
 def test_tts_streaming(server):
     """streaming=true returns chunked WAV with an unknown-length header."""
     query = urllib.parse.urlencode(

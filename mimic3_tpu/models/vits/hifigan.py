@@ -117,6 +117,7 @@ def hifigan_generator(
         # 16 but LOSES ~10ms at batch 1 (streaming and single-stream
         # stay on the XLA path).
         c_out_est = x.shape[-1] // 2
+        last_stage = i == len(upsample_rates) - 1
         if (
             resblock_type == "1"
             and 0 < c_out_est <= pallas_stage_max_channels
@@ -126,13 +127,22 @@ def hifigan_generator(
             from ...ops.stage import hifigan_stage_fused
 
             try:
-                x = hifigan_stage_fused(
+                out = hifigan_stage_fused(
                     stage_params, x,
                     resblock_kernel_sizes, resblock_dilation_sizes,
                     ups_params=params["ups"][str(i)],
                     ups_stride=u,
                     ups_padding=(k - u) // 2,
+                    # on the final stage the lrelu+conv_post+tanh head
+                    # fuses in too and the kernel emits the waveform —
+                    # the stage activation never round-trips HBM
+                    post_params=(
+                        params["conv_post"] if last_stage else None
+                    ),
                 )
+                if last_stage:
+                    return out  # [B, samples] float32
+                x = out
                 continue
             except ValueError:
                 pass  # unsupported shape: fall through to XLA path
@@ -151,10 +161,16 @@ def hifigan_generator(
             from ...ops.stage import hifigan_stage_fused
 
             try:
-                x = hifigan_stage_fused(
+                out = hifigan_stage_fused(
                     stage_params, x,
                     resblock_kernel_sizes, resblock_dilation_sizes,
+                    post_params=(
+                        params["conv_post"] if last_stage else None
+                    ),
                 )
+                if last_stage:
+                    return out
+                x = out
                 continue
             except ValueError:
                 pass

@@ -198,6 +198,7 @@ def _stage_kernel(
     n_res: int,
     inv_n_res: float,
     has_ups: bool = False,
+    has_post: bool = False,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -302,9 +303,18 @@ def _stage_kernel(
         states = [s + xt for s, xt in zip(states, xts)]
     total = sum(states[1:], states[0]) * inv_n_res
 
-    out_ref[0, :, :] = pltpu.roll(total, rows - halo_f, 0)[
-        :tile_f
-    ].astype(out_ref.dtype)
+    if has_post:
+        # final head fused in: audio = tanh(conv_post(lrelu(y))).
+        # The stage output itself is never written to HBM — only the
+        # waveform (folded: fold samples in the low lanes per row).
+        audio = jnp.tanh(folded_conv(_leaky(total), len(plan) - 1))
+        out_ref[0, :, :] = pltpu.roll(audio, rows - halo_f, 0)[
+            :tile_f, : out_ref.shape[-1]
+        ].astype(out_ref.dtype)
+    else:
+        out_ref[0, :, :] = pltpu.roll(total, rows - halo_f, 0)[
+            :tile_f
+        ].astype(out_ref.dtype)
 
 
 def _pick_tile(t_f: int, max_tile: int = 2048) -> typing.Optional[int]:
@@ -317,8 +327,8 @@ def _pick_tile(t_f: int, max_tile: int = 2048) -> typing.Optional[int]:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "n_res", "has_ups", "t_f", "tile_f", "halo_f",
-        "interpret",
+        "plan", "n_res", "has_ups", "out_width", "t_f", "tile_f",
+        "halo_f", "interpret",
     ),
 )
 def _stage_call(
@@ -329,6 +339,7 @@ def _stage_call(
     plan: typing.Tuple[typing.Tuple[int, int, int], ...],
     n_res: int,
     has_ups: bool,
+    out_width: int,  # 128 for the stage output; fold for fused audio
     t_f: int,
     tile_f: int,
     halo_f: int,
@@ -336,6 +347,7 @@ def _stage_call(
 ) -> jax.Array:
     batch = x_pad.shape[0]
     fc = x_pad.shape[-1]
+    has_post = out_width != fc
 
     kernel = functools.partial(
         _stage_kernel,
@@ -346,8 +358,10 @@ def _stage_call(
         n_res=n_res,
         inv_n_res=1.0 / n_res,
         has_ups=has_ups,
+        has_post=has_post,
     )
     grid = (batch, t_f // tile_f)
+    out_dtype = jnp.float32 if has_post else x_pad.dtype
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -363,14 +377,22 @@ def _stage_call(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_f, fc), lambda b, i: (b, i, 0),
+            (1, tile_f, out_width), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, t_f, fc), x_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, t_f, out_width), out_dtype
+        ),
         scratch_shapes=[
             pltpu.VMEM((tile_f + 2 * halo_f, fc), x_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the 16 MB scoped-vmem default is XLA's conservative cap,
+            # not the physical VMEM; the fused ups+stage+post variant
+            # needs slightly more at tile 2048 (measured 16.26 MB)
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_pad, w_all, bias_all)
 
@@ -384,6 +406,7 @@ def hifigan_stage_fused(
     ups_params: typing.Optional[typing.Mapping] = None,
     ups_stride: int = 2,
     ups_padding: typing.Optional[int] = None,
+    post_params: typing.Optional[typing.Mapping] = None,
     max_tile: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
@@ -393,6 +416,12 @@ def hifigan_stage_fused(
     is fused in as one extra folded matmul group: ``x`` is then the
     PRE-upsample activation and the returned stage output is at
     ``T * ups_stride`` samples and the upsampler's output channels.
+
+    With ``post_params`` (the decoder's final 1-channel conv — only
+    valid on the LAST stage) the kernel also fuses
+    ``tanh(conv_post(lrelu(y)))`` and returns the float32 WAVEFORM
+    ``[B, T_out]`` instead of the stage activation; the stage output
+    never touches HBM.
 
     Unsupported shapes raise ValueError so the caller can fall back to
     the XLA path; weight norm must be foldable (inference params).
@@ -473,8 +502,46 @@ def hifigan_stage_fused(
             axis=0,
         )
 
-    # halo: stage receptive field in folded rows (+ the ups conv's own
-    # input span), rounded to a sublane multiple for aligned DMA
+    has_post = post_params is not None
+    if has_post:
+        p = fold_weight_norm(post_params)
+        w_post = p["weight"]  # [K, C, 1]
+        k_p, c_p, c_p_out = w_post.shape
+        if c_p != 128 // fold or c_p_out != 1:
+            raise ValueError(
+                f"post conv {c_p}->{c_p_out} does not fit the stage"
+            )
+        pad_p = (k_p - 1) // 2
+        dt_min_p, dt_max_p = folded_kernel_span(k_p, 1, fold)
+        k_f_p = dt_max_p - dt_min_p + 1
+        # folded post weight, zero-padded to the shared 128-lane width
+        w_fp = jnp.zeros((k_f_p, 128, 128), jnp.float32)
+        for ro in range(fold):
+            for tap in range(k_p):
+                o = ro + tap - pad_p
+                dt = o // fold
+                ri = o - dt * fold
+                w_fp = w_fp.at[
+                    dt - dt_min_p,
+                    ri * c_p : (ri + 1) * c_p,
+                    ro,
+                ].add(w_post[tap, :, 0].astype(jnp.float32))
+        bias_p = p.get("bias")
+        post_bias = jnp.zeros((128,), jnp.float32)
+        if bias_p is not None:
+            post_bias = post_bias.at[:fold].set(
+                jnp.tile(bias_p.astype(jnp.float32), fold)
+            )
+        plan = plan + ((w_all.shape[0], k_f_p, dt_min_p),)
+        w_all = jnp.concatenate(
+            [w_all, w_fp.astype(w_all.dtype)], axis=0
+        )
+        bias_all = jnp.concatenate(
+            [bias_all, post_bias[None, :]], axis=0
+        )
+
+    # halo: stage receptive field in folded rows (+ the ups/post convs'
+    # own spans), rounded to a sublane multiple for aligned DMA
     rf = 0
     for r, k in enumerate(ks):
         span = sum((k - 1) // 2 * d + (k - 1) // 2 for d in ds[r])
@@ -484,6 +551,8 @@ def hifigan_stage_fused(
         halo_rows += max(
             abs(plan[0][2]), plan[0][1] + plan[0][2] - 1, 1
         )
+    if has_post:
+        halo_rows += 1  # conv_post folded span is within +-1 row
     halo_f = -(-halo_rows // 8) * 8  # round up to sublane multiple
 
     fold_x = fold_in if has_ups else fold
@@ -493,8 +562,11 @@ def hifigan_stage_fused(
     out = _stage_call(
         x_pad, w_all, bias_all,
         plan=plan, n_res=len(ks), has_ups=has_ups,
+        out_width=fold if has_post else 128,
         t_f=t_f, tile_f=tile_f, halo_f=halo_f,
         interpret=interpret,
     )
+    if has_post:
+        return out.reshape(batch, t_out)  # float32 waveform
     c_final = 128 // fold
     return out.reshape(batch, t_out, c_final)

@@ -139,6 +139,88 @@ def test_stage_fused_with_upsampler():
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_stage_fused_with_post_head():
+    """Fused tanh(conv_post(lrelu(stage))) emits the waveform."""
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits.layers import (
+        LRELU_SLOPE,
+        conv1d,
+        leaky_relu,
+    )
+
+    c, t = 32, 512
+    rng = np.random.RandomState(23)
+    params = _make_params(rng, c)
+    post = {
+        "weight": jnp.asarray(
+            rng.randn(7, c, 1).astype(np.float32) * 0.1
+        )
+    }
+    x = jnp.asarray(rng.randn(2, t, c).astype(np.float32))
+
+    y = _reference(params, x)
+    y = leaky_relu(y.astype(jnp.float32), LRELU_SLOPE)
+    ref = np.asarray(
+        jnp.tanh(conv1d(y, post, padding=3))[..., 0]
+    )
+
+    got = np.asarray(
+        hifigan_stage_fused(
+            params, x, KERNELS, DILATIONS,
+            post_params=post, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape == (2, t)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_stage_fused_ups_and_post_together():
+    """Full last-stage fusion: ups + resblocks + post in one kernel."""
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits.layers import (
+        LRELU_SLOPE,
+        conv1d,
+        conv_transpose1d,
+        leaky_relu,
+    )
+
+    c_in, c_out, t = 64, 32, 256
+    rng = np.random.RandomState(29)
+    params = _make_params(rng, c_out)
+    ups = {
+        "weight": jnp.asarray(
+            rng.randn(4, c_in, c_out).astype(np.float32) * 0.1
+        ),
+        "bias": jnp.asarray(
+            rng.randn(c_out).astype(np.float32) * 0.1
+        ),
+    }
+    post = {
+        "weight": jnp.asarray(
+            rng.randn(7, c_out, 1).astype(np.float32) * 0.1
+        )
+    }
+    h = jnp.asarray(rng.randn(2, t, c_in).astype(np.float32))
+
+    x = leaky_relu(h, LRELU_SLOPE)
+    x = conv_transpose1d(x, ups, stride=2, padding=1)
+    y = _reference(params, x)
+    y = leaky_relu(y.astype(jnp.float32), LRELU_SLOPE)
+    ref = np.asarray(jnp.tanh(conv1d(y, post, padding=3))[..., 0])
+
+    got = np.asarray(
+        hifigan_stage_fused(
+            params, h, KERNELS, DILATIONS,
+            ups_params=ups, ups_stride=2, ups_padding=1,
+            post_params=post, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape == (2, 2 * t)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_stage_fused_rejects_bad_channels():
     rng = np.random.RandomState(0)
     params = _make_params(rng, 48)

@@ -202,11 +202,15 @@ class VitsSession:
             else jnp.dtype(config.tpu.decoder_dtype)
         )
         pallas_stage = config.tpu.pallas_stage_max_channels
-        if pallas_stage is None:  # auto: on-TPU only (measured 1.77x
-            # on the C=32 stage; interpret-mode on CPU would be slow)
-            pallas_stage = (
-                32 if jax.default_backend() == "tpu" else 0
-            )
+        if pallas_stage is None:
+            # auto: on-TPU only (measured 2.2x on the C=32 stage;
+            # interpret-mode on CPU would be slow).  Disabled under a
+            # dp>1 mesh until the custom call's SPMD partitioning is
+            # validated on real multi-chip hardware — XLA's partitioner
+            # does not generally know how to shard pallas_call.
+            on_tpu = jax.default_backend() == "tpu"
+            single_device = mesh is None or mesh.size == 1
+            pallas_stage = 32 if (on_tpu and single_device) else 0
         self.model = VitsModel(
             config.model,
             compute_dtype=compute_dtype,

@@ -606,12 +606,13 @@ class VitsModel:
         Returns (audio [B, num_frames*hop] float32, sample lengths [B]).
 
         ``frame_offset`` decodes the window [offset, offset+num_frames)
-        of the full utterance — chunked/streaming decode.  Pass the same
-        ``prior_noise`` slices across calls for seam-exact chunks (the
-        internal RNG is shape-dependent, so chunked calls must supply
-        noise explicitly when noise_scale > 0).  ``enc_stats`` =
-        precomputed (m_p, logs_p) skips the encoder (chunked decode
-        computes it once instead of per chunk).
+        of the full utterance — chunked/streaming decode.  The internal
+        prior noise is FRAME-INDEXED (value at global frame f depends
+        only on rng/f/batch slot), so overlapping windows and different
+        frame buckets agree on shared frames without callers passing
+        noise; ``prior_noise`` remains available to override it.
+        ``enc_stats`` = precomputed (m_p, logs_p) skips the encoder
+        (chunked decode computes it once instead of per chunk).
         """
         x_mask = sequence_mask(lengths, ids.shape[1])
         g = self.speaker_embedding(params, sid) if sid is not None else None

@@ -552,7 +552,9 @@ def hifigan_stage_fused(
             abs(plan[0][2]), plan[0][1] + plan[0][2] - 1, 1
         )
     if has_post:
-        halo_rows += 1  # conv_post folded span is within +-1 row
+        # conv_post's exact folded span (fold=4 -> +-1 row, fold=2 ->
+        # +-2 rows for k=7)
+        halo_rows += max(abs(dt_min_p), dt_max_p, 1)
     halo_f = -(-halo_rows // 8) * 8  # round up to sublane multiple
 
     fold_x = fold_in if has_ups else fold

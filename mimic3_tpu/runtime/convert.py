@@ -572,13 +572,46 @@ def recover_initializer_names(
 
     missing = sorted(set(expected) - claimed)
     if missing:
-        _LOGGER.info(
-            "%d expected parameters absent from the ONNX graph "
-            "(dead at inference; filled from init): %s",
-            len(missing),
-            ", ".join(missing[:8]) + ("..." if len(missing) > 8 else ""),
-        )
+        # only a KNOWN set of parameters is legitimately absent from a
+        # traced inference graph (the SDP posterior branch and the one
+        # flow the inference path drops).  Anything else unclaimed is a
+        # recovery FAILURE — the caller would silently substitute
+        # random init for a live weight — so it warns loudly.
+        dead = [n for n in missing if _is_dead_at_inference(n)]
+        unrecovered = [
+            n for n in missing if not _is_dead_at_inference(n)
+        ]
+        if dead:
+            _LOGGER.info(
+                "%d expected parameters absent from the ONNX graph "
+                "(dead at inference; filled from init): %s",
+                len(dead),
+                ", ".join(dead[:8]) + ("..." if len(dead) > 8 else ""),
+            )
+        if unrecovered:
+            _LOGGER.warning(
+                "%d LIVE parameters could not be recovered from the "
+                "ONNX graph and will be filled with random init — "
+                "converted audio will be wrong: %s",
+                len(unrecovered),
+                ", ".join(unrecovered[:16])
+                + ("..." if len(unrecovered) > 16 else ""),
+            )
     return result
+
+
+# parameters a traced VITS inference graph legitimately omits: the
+# stochastic duration predictor's posterior branch (training only) and
+# the flow the inference path drops (reference semantics mirrored in
+# models/vits/duration.py), plus its standalone logs leaf
+_DEAD_AT_INFERENCE_PREFIXES = ("dp.post_", "dp.flows.1.", "enc_q.")
+
+
+def _is_dead_at_inference(name: str) -> bool:
+    return (
+        name.startswith(_DEAD_AT_INFERENCE_PREFIXES)
+        or name == "dp.flows.0.logs"
+    )
 
 
 def complete_params(tree: Pytree, model_config) -> Pytree:

@@ -670,19 +670,21 @@ class VitsSession:
         first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
         window0 = first_cf + 2 * overlap
         m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
-        spec_audio, _ = self._dec_chunk_fn(
-            self.params,
-            ids_j,
-            lengths_j,
-            durations,
-            rng,
-            jnp.float32(noise_scale),
-            sid_j,
-            jnp.int32(0),
-            m_p,
-            logs_p,
-            num_frames=window0,
-        )
+        spec_audio = None
+        if self.speculative_decode:
+            spec_audio, _ = self._dec_chunk_fn(
+                self.params,
+                ids_j,
+                lengths_j,
+                durations,
+                rng,
+                jnp.float32(noise_scale),
+                sid_j,
+                jnp.int32(0),
+                m_p,
+                logs_p,
+                num_frames=window0,
+            )
 
         total = int(np.asarray(totals)[0])
         if not self.allow_bucket_growth:

@@ -183,13 +183,17 @@ class TtsApp:
             voice = self._catalog._get_or_load_voice(key)
             self._wire_session(key, voice)
             if self.config.warmup:
-                # warm every batch bucket the scheduler can produce so
-                # no request-path batch size ever compiles
-                bb = [
-                    b
-                    for b in voice.session.batch_buckets
-                    if b <= self.config.max_batch
-                ] or [voice.session.batch_buckets[0]]
+                # warm every batch bucket the scheduler can PRODUCE:
+                # a packed batch of up to max_batch (dp-rounded) pads
+                # UP to the covering bucket, so that bucket must be
+                # warmed too or it compiles on the request path
+                from ..runtime.session import pick_bucket
+
+                session = voice.session
+                dp = session.dp
+                limit = max(dp, (self.config.max_batch // dp) * dp)
+                top = pick_bucket(limit, session.batch_buckets)
+                bb = [b for b in session.batch_buckets if b <= top]
                 voice.session.warmup(
                     batch_sizes=bb,
                     chunk_windows=_STREAM_WINDOWS,
@@ -570,8 +574,10 @@ def build_server(app: TtsApp) -> HttpServer:
         import tempfile
 
         try:
-            seconds = min(float(request.arg("seconds", "3")), 60.0)
+            seconds = float(request.arg("seconds", "3"))
         except ValueError:
+            seconds = 3.0
+        if not (0.0 < seconds <= 60.0):  # also rejects nan
             seconds = 3.0
         profile_dir = getattr(app.config, "profile_dir", None) or (
             tempfile.mkdtemp(prefix="mimic3_profile_")

@@ -58,6 +58,7 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .config import TrainingConfig
@@ -178,14 +179,39 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
         args.steps, batch_size, n_devices,
     )
 
+    if multi_process:
+        # every process iterates the SAME deterministic batch stream
+        # (same seed) but feeds the device mesh only its own slice;
+        # the global array is assembled across hosts
+        from .parallel import process_local_batch_slice
+
+        local_start, local_size = process_local_batch_slice(batch_size)
+
+        def place_batch(batch):
+            def put(x):
+                if hasattr(x, "ndim") and x.ndim >= 1:
+                    return jax.make_array_from_process_local_data(
+                        bs,
+                        np.asarray(
+                            x[local_start : local_start + local_size]
+                        ),
+                        (batch_size,) + tuple(x.shape[1:]),
+                    )
+                return jax.device_put(x, replicated)
+
+            return jax.tree_util.tree_map(put, batch)
+    else:
+
+        def place_batch(batch):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, bs), batch
+            )
+
     t_start = time.time()
     step_rng = jax.random.PRNGKey(config.seed + 1)
     with mesh:
         for step_num in range(start_step, start_step + args.steps):
-            batch = next(data)
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, bs), batch
-            )
+            batch = place_batch(next(data))
             state, metrics = train_step(
                 state, batch, jax.random.fold_in(step_rng, step_num)
             )

@@ -110,6 +110,30 @@ def test_chunked_agrees_with_batch_under_noise(voice_dir):
     assert float(err.max()) < 5e-4, float(err.max())
 
 
+def test_streaming_honors_speculation_flag(voice_dir):
+    """speculative_decode=False also disables the streamed first-window
+    pre-dispatch, with identical output."""
+    session = _fresh_session(voice_dir)
+    ref = np.concatenate(
+        list(
+            session.synthesize_ids_chunked(
+                IDS, noise_scale=0.5, noise_w=0.0, seed=4,
+                chunk_frames=16, overlap=48,
+            )
+        )
+    )
+    session.speculative_decode = False
+    got = np.concatenate(
+        list(
+            session.synthesize_ids_chunked(
+                IDS, noise_scale=0.5, noise_w=0.0, seed=4,
+                chunk_frames=16, overlap=48,
+            )
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_ema_tracks_observations(voice_dir):
     session = _fresh_session(voice_dir)
     assert session._ema_frames_per_phoneme is None

@@ -761,6 +761,7 @@ class VitsSession:
         frame_buckets: typing.Optional[typing.Sequence[int]] = None,
         batch_sizes: typing.Optional[typing.Sequence[int]] = None,
         chunk_windows: typing.Sequence[int] = (),
+        parallel: int = 4,
     ) -> float:
         """Pre-compile executables for the given bucket grid.
 
@@ -768,6 +769,13 @@ class VitsSession:
         no request ever pays XLA compilation
         (the reference has the same concern with thread preloading,
         mimic3_http/synthesis.py:106-110).
+
+        ``parallel`` overlaps independent executable compilations from a
+        thread pool (JAX compiles per-signature under per-entry locks,
+        so distinct shapes compile concurrently).  On this project's
+        remote-compile environment the grid is large (~150+
+        executables) and compile latency dominates, so overlap is the
+        difference between minutes and hours of startup.
         """
         import jax.numpy as jnp
 
@@ -785,22 +793,43 @@ class VitsSession:
                 {pick_bucket(b, self.batch_buckets) for b in batch_sizes}
             )
         rng = self._put(self._next_key(0), sharded=False)
-        for b in batch_sizes:
-            for t in tb:
-                ids = self._put(np.zeros((b, t), np.int32), sharded=True)
-                lengths = self._put(
-                    np.full((b,), t, np.int32), sharded=True
-                )
-                sid = self._put(np.zeros((b,), np.int32), sharded=True)
-                durations, _ = self._dur_fn(
-                    self.params, ids, lengths, rng,
-                    jnp.float32(1.0), jnp.float32(0.8), sid,
-                )
-                for f in fb:
-                    self._dec_fn(
-                        self.params, ids, lengths, durations, rng,
-                        jnp.float32(0.667), sid, num_frames=f,
+
+        def warm_bt(b: int, t: int):
+            ids = self._put(np.zeros((b, t), np.int32), sharded=True)
+            lengths = self._put(
+                np.full((b,), t, np.int32), sharded=True
+            )
+            sid = self._put(np.zeros((b,), np.int32), sharded=True)
+            durations, _ = self._dur_fn(
+                self.params, ids, lengths, rng,
+                jnp.float32(1.0), jnp.float32(0.8), sid,
+            )
+            return ids, lengths, sid, durations
+
+        def warm_dec(args, f):
+            ids, lengths, sid, durations = args
+            self._dec_fn(
+                self.params, ids, lengths, durations, rng,
+                jnp.float32(0.667), sid, num_frames=f,
+            )
+
+        combos = [(b, t) for b in batch_sizes for t in tb]
+        if parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallel) as pool:
+                bt_args = list(pool.map(lambda c: warm_bt(*c), combos))
+                list(
+                    pool.map(
+                        lambda af: warm_dec(*af),
+                        [(a, f) for a in bt_args for f in fb],
                     )
+                )
+        else:
+            for c in combos:
+                a = warm_bt(*c)
+                for f in fb:
+                    warm_dec(a, f)
         # streaming executables (batch 1): encoder pass + one chunked
         # decode per window size, so the first low-latency request
         # doesn't pay XLA compilation either

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""End-to-end HTTP serving load test on the current JAX device.
+
+Starts a real ``mimic3-server`` subprocess (warmup on), fires
+concurrent /api/tts requests, and reports wall time, audio seconds,
+and the scheduler's realized batch sizes from /api/stats — the whole
+serving stack (HTTP -> engine -> BatchScheduler -> compiled session)
+on actual hardware.
+
+Usage: nohup python -u scripts/serve_load_test.py > /tmp/serve_load.log 2>&1 &
+"""
+
+import io
+import json
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.parse
+import urllib.request
+import wave
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+PORT = 59333
+BASE = f"http://127.0.0.1:{PORT}"
+N_REQUESTS = 48
+CONCURRENCY = 16
+TEXT = "the quick brown fox jumps over the lazy dog near the river."
+
+
+def wait_healthy(timeout: float) -> None:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                f"{BASE}/api/healthcheck", timeout=5
+            ) as r:
+                if r.status == 200:
+                    return
+        except Exception:
+            time.sleep(2)
+    raise TimeoutError("server never became healthy")
+
+
+def one_request(i: int) -> float:
+    q = urllib.parse.urlencode(
+        {"text": TEXT, "voice": "en_US/test_low"}
+    )
+    with urllib.request.urlopen(
+        f"{BASE}/api/tts?{q}", timeout=600
+    ) as r:
+        data = r.read()
+    with wave.open(io.BytesIO(data)) as w:
+        return w.getnframes() / w.getframerate()
+
+
+def main() -> int:
+    voices_root = Path(tempfile.mkdtemp(prefix="serve_load_"))
+    voice_dir = voices_root / "en_US" / "test_low"
+    subprocess.run(
+        [
+            sys.executable, "-m", "mimic3_tpu.runtime.testvoice",
+            str(voice_dir),
+        ],
+        check=True,
+    )
+
+    server = subprocess.Popen(
+        [
+            sys.executable, "-m", "mimic3_tpu.server",
+            "--port", str(PORT),
+            "--voices-dir", str(voices_root),
+            "--preload-voice", "en_US/test_low",
+            "--warmup",
+            "--no-download",
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        print("waiting for warmup...", flush=True)
+        wait_healthy(timeout=3600)
+        # healthcheck responds before warmup completes only if routes
+        # come up first; issue one request to settle compiles
+        one_request(-1)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=CONCURRENCY) as pool:
+            audio_secs = list(
+                pool.map(one_request, range(N_REQUESTS))
+            )
+        elapsed = time.perf_counter() - t0
+
+        with urllib.request.urlopen(
+            f"{BASE}/api/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+
+        print(
+            json.dumps(
+                {
+                    "requests": N_REQUESTS,
+                    "concurrency": CONCURRENCY,
+                    "wall_s": round(elapsed, 2),
+                    "audio_sec_total": round(sum(audio_secs), 1),
+                    "served_audio_sec_per_sec": round(
+                        sum(audio_secs) / elapsed, 1
+                    ),
+                    "mean_batch_size": stats["scheduler"][
+                        "mean_batch_size"
+                    ],
+                    "batches": stats["scheduler"]["batches"],
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        server.terminate()
+        server.wait(timeout=30)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

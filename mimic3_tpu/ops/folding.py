@@ -29,7 +29,6 @@ import typing
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def folded_kernel_span(
@@ -51,31 +50,6 @@ def fold_gain(kernel_size: int, dilation: int, fold: int) -> float:
     dt_min, dt_max = folded_kernel_span(kernel_size, dilation, fold)
     k_f = dt_max - dt_min + 1
     return k_f * fold / kernel_size
-
-
-def fold_weight(
-    weight: np.ndarray, dilation: int, fold: int
-) -> typing.Tuple[np.ndarray, int, int]:
-    """Build the folded block weight.
-
-    weight: [K, C, C] -> (w_f [K_f, fold*C, fold*C], pad_left, pad_right)
-    """
-    k, c, c_out = weight.shape
-    pad = dilation * (k - 1) // 2
-    dt_min, dt_max = folded_kernel_span(k, dilation, fold)
-    k_f = dt_max - dt_min + 1
-    w_f = np.zeros((k_f, fold * c, fold * c_out), weight.dtype)
-    for ro in range(fold):
-        for j in range(k):
-            o = ro + j * dilation - pad
-            dt = o // fold
-            ri = o - dt * fold
-            w_f[
-                dt - dt_min,
-                ri * c : (ri + 1) * c,
-                ro * c_out : (ro + 1) * c_out,
-            ] += weight[j]
-    return w_f, -dt_min, dt_max
 
 
 def folded_conv1d(

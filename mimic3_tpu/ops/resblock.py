@@ -147,6 +147,10 @@ def fused_resblock_subblock(
 ) -> jax.Array:
     """x + conv(lrelu(conv(lrelu(x), dil)), 1), fused in one kernel."""
     batch, t, c = x.shape
+    if b1 is None:  # bias-free converted convs
+        b1 = jnp.zeros((c,), x.dtype)
+    if b2 is None:
+        b2 = jnp.zeros((c,), x.dtype)
     halo1 = dilation * (kernel_size - 1) // 2
     halo2 = (kernel_size - 1) // 2
     halo_p = _round8(halo1) + _round8(halo2)  # sublane-aligned halos

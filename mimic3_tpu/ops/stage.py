@@ -429,7 +429,7 @@ def hifigan_stage_fused(
     from ..models.vits.layers import fold_weight_norm
 
     batch, t, c = x.shape
-    dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+    dtype = x.dtype  # folded weights match the activations' dtype
 
     ups_w = None
     if ups_params is not None:

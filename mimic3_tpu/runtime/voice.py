@@ -327,7 +327,19 @@ def _load_voice_params(voice_dir: Path):
             _LOGGER.warning(
                 "Voice dir %s not writable; converting in memory", voice_dir
             )
-            return onnx_to_pytree(onnx_path)
+            # pass the model config like convert_voice_directory does:
+            # real torch.onnx.export files have anonymized initializer
+            # names that are only recoverable against the expected
+            # architecture (runtime/convert.py:644-666)
+            model_config = None
+            config_path = voice_dir / "config.json"
+            if config_path.is_file():
+                from ..config import TrainingConfig
+
+                model_config = TrainingConfig.load_path(
+                    config_path
+                ).model
+            return onnx_to_pytree(onnx_path, model_config=model_config)
     raise FileNotFoundError(
         f"No generator.npz or generator.onnx in {voice_dir}"
     )
@@ -424,9 +436,11 @@ class HazmEspeakTpuVoice(EspeakTpuVoice):
     def _fix_words(self, words):
         fixed = []
         for word, pos in self._tagger.tag(words):
-            if pos and pos[-1] == "e":  # Ezafe construction
+            if word and pos and pos[-1] == "e":  # Ezafe construction
                 if word[-1] != "ِ":
-                    if (word[-1] == "ه") and (word[-2] != "ا"):
+                    if word[-1] == "ه" and (
+                        len(word) < 2 or word[-2] != "ا"
+                    ):
                         word += "‌ی"
                     word += "ِ"
             fixed.append(word)

@@ -294,21 +294,32 @@ class TtsApp:
         engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
         voice = engine._get_or_load_voice(engine.voice)
         self._wire_session(engine.voice, voice)
+        # the voice setter split any '#speaker' suffix into
+        # engine.speaker; resolve it like the buffered path does
+        speaker_id = voice.resolve_speaker_id(engine.speaker)
         inference = voice.config.inference
-        noise_scale = (
-            params.noise_scale
-            if params.noise_scale is not None
-            else inference.noise_scale
+
+        # same precedence as the buffered path (_results_blocking):
+        # request arg > server --noise-scale/--length-scale > voice config
+        def _scale(request_value, server_value, voice_value):
+            if request_value is not None:
+                return request_value
+            if server_value is not None:
+                return server_value
+            return voice_value
+
+        noise_scale = _scale(
+            params.noise_scale,
+            self.config.noise_scale,
+            inference.noise_scale,
         )
-        noise_w = (
-            params.noise_w
-            if params.noise_w is not None
-            else inference.noise_w
+        noise_w = _scale(
+            params.noise_w, self.config.noise_w, inference.noise_w
         )
-        length_scale = (
-            params.length_scale
-            if params.length_scale is not None
-            else inference.length_scale
+        length_scale = _scale(
+            params.length_scale,
+            self.config.length_scale,
+            inference.length_scale,
         )
         if self.config.deterministic:
             noise_scale, noise_w = 0.0, 0.0
@@ -324,6 +335,7 @@ class TtsApp:
                 continue
             for chunk in voice.session.synthesize_ids_chunked(
                 ids,
+                speaker_id=speaker_id,
                 length_scale=float(length_scale),
                 noise_scale=float(noise_scale),
                 noise_w=float(noise_w),
@@ -367,11 +379,15 @@ class TtsApp:
         cancelled = threading.Event()
 
         def put(chunk: typing.Optional[bytes]) -> bool:
+            if cancelled.is_set():
+                # consumer already gone: stop the producer immediately
+                # instead of filling the queue and blocking on .result
+                return False
             try:
                 asyncio.run_coroutine_threadsafe(
                     queue.put(chunk), loop
                 ).result(timeout=120)
-                return True
+                return not cancelled.is_set()
             except Exception:
                 cancelled.set()
                 return False
@@ -507,7 +523,16 @@ def build_server(app: TtsApp) -> HttpServer:
         target = (request.arg("audioTarget", "client") or "").lower()
         if target == "server":
             play_cmd = shlex.split(config.play_program)
-            subprocess.run(play_cmd, input=wav_bytes, check=True)
+            # playback can take the length of the audio: run it off the
+            # event loop so other connections (healthcheck, streams)
+            # aren't stalled for its duration
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(
+                None,
+                lambda: subprocess.run(
+                    play_cmd, input=wav_bytes, check=True
+                ),
+            )
             return "OK"
         return HttpResponse(body=wav_bytes, content_type="audio/wav")
 

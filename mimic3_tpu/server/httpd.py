@@ -122,7 +122,14 @@ class HttpServer:
             headers["x-body-too-large"] = "1"
             headers["connection"] = "close"
         elif length:
-            body = await reader.readexactly(length)
+            try:
+                body = await reader.readexactly(length)
+            except (
+                asyncio.IncompleteReadError,
+                ConnectionResetError,
+            ):
+                # client aborted mid-body: treat as no request
+                return None
 
         split = urlsplit(target)
         query: typing.Dict[str, str] = {}

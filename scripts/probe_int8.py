@@ -33,8 +33,14 @@ def bench(name, m, k, n, dtype, acc_dtype):
     @jax.jit
     def loop(a, b):
         def body(i, acc):
+            # i-dependent operand so XLA cannot hoist the dot out of
+            # the loop (first probe run measured identical times for
+            # every shape/dtype — the matmul had been loop-hoisted)
+            a_i = jax.lax.dynamic_update_index_in_dim(
+                a, a[0] + i.astype(a.dtype), 0, axis=0
+            )
             c = jax.lax.dot_general(
-                a, b,
+                a_i, b,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype,
             )

@@ -159,6 +159,21 @@ def main() -> int:
 
     voc_ms = bench("vocoder", loop(voc_body))
 
+    # 5. combined step exactly like bench.py's pipeline_loop (dur pass
+    # feeding decode) — cross-checks the standalone components
+    def step_body(params, key):
+        durs, totals = model.infer_durations(
+            params, ids, lengths, key,
+            jnp.float32(length_scale), jnp.float32(0.8),
+        )
+        audio, sl = model.decode_frames(
+            params, ids, lengths, durs, args.frames, key,
+            jnp.float32(0.667),
+        )
+        return jnp.sum(audio[:, ::4096].astype(jnp.float32))
+
+    step_ms = bench("full_step", loop(step_body))
+
     print(
         json.dumps(
             {
@@ -167,7 +182,8 @@ def main() -> int:
                     "decode_ms": round(dec_ms, 2),
                     "vocoder_ms": round(voc_ms, 2),
                     "expand_flow_sample_ms": round(dec_ms - voc_ms, 2),
-                    "step_ms": round(dur_ms + dec_ms, 2),
+                    "full_step_ms": round(step_ms, 2),
+                    "component_sum_ms": round(dur_ms + dec_ms, 2),
                     "pallas_stage": pallas_stage,
                 }
             }

@@ -472,7 +472,8 @@ class TrainingConfig:
                 with open(maybe_file, "r", encoding="utf-8") as f:
                     new_dict = json.load(f)
             else:
-                with maybe_file as f:
-                    new_dict = json.load(f)
+                # borrowed handle: read it but leave it open (only
+                # files opened here get closed here)
+                new_dict = json.load(maybe_file)
             recursive_update(base_dict, new_dict)
         return TrainingConfig.from_dict(base_dict)

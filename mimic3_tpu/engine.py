@@ -173,9 +173,11 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
 
     # -- voice discovery ---------------------------------------------------------
 
-    def get_voices(self) -> typing.Iterable[Voice]:
-        """All locally-installed voices, then not-yet-downloaded registry
-        voices (reference: mimic3_tts/tts.py:174-284)."""
+    def _voice_search_dirs(
+        self,
+    ) -> typing.Iterable[typing.Union[str, Path]]:
+        """Voice directories in search order: explicit settings dirs,
+        XDG defaults, then the download dir."""
         voices_dirs: typing.Iterable[typing.Union[str, Path]] = (
             get_default_voices_directories()
         )
@@ -184,9 +186,14 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
                 self.settings.voices_directories, voices_dirs
             )
         # the download dir is always searched
-        voices_dirs = itertools.chain(
+        return itertools.chain(
             voices_dirs, [self.settings.voices_download_dir]
         )
+
+    def get_voices(self) -> typing.Iterable[Voice]:
+        """All locally-installed voices, then not-yet-downloaded registry
+        voices (reference: mimic3_tts/tts.py:174-284)."""
+        voices_dirs = self._voice_search_dirs()
 
         registry = get_voices_registry()
         remaining = set(registry.keys())
@@ -488,7 +495,18 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
             return existing
 
         model_dir: typing.Optional[Path] = None
-        for candidate in self.get_voices():
+        # fast path for exact '<lang>/<name>' keys: probe the search
+        # dirs directly instead of config-parsing every installed voice
+        # (get_voices loads each config.json it walks past); aliases,
+        # wildcards, and not-yet-downloaded voices fall through to the
+        # full scan below
+        if voice_key.count("/") == 1 and "*" not in voice_key:
+            for voices_dir in self._voice_search_dirs():
+                candidate_dir = Path(voices_dir) / voice_key
+                if (candidate_dir / "config.json").is_file():
+                    model_dir = candidate_dir
+                    break
+        for candidate in self.get_voices() if model_dir is None else ():
             if voice_key == candidate.key or (
                 candidate.aliases and voice_key in candidate.aliases
             ):

@@ -108,72 +108,65 @@ def hifigan_generator(
             params["resblocks"][str(i * num_kernels + j)]
             for j in range(num_kernels)
         ]
-        # small-channel stages: one monolithic folded Pallas kernel for
-        # the whole MRF stage, with the preceding transposed-conv
-        # upsampler fused in when its stride aligns the foldings
-        # (mimic3_tpu/ops/stage.py).  Batch gate: the win is
-        # padded-HBM-traffic elimination, which scales with batch;
-        # measured on v5e the kernel gains +18-26% throughput at batch
-        # 16 but LOSES ~10ms at batch 1 (streaming and single-stream
-        # stay on the XLA path).
-        c_out_est = x.shape[-1] // 2
         last_stage = i == len(upsample_rates) - 1
-        if (
-            resblock_type == "1"
-            and 0 < c_out_est <= pallas_stage_max_channels
-            and 128 % c_out_est == 0
-            and x.shape[0] >= 4
-        ):
+
+        def try_fused_stage(x_in, with_ups):
+            """Small-channel stages: one monolithic folded Pallas
+            kernel for the whole MRF stage (mimic3_tpu/ops/stage.py),
+            optionally with the preceding transposed-conv upsampler
+            fused in; on the final stage the lrelu+conv_post+tanh head
+            fuses in too and the kernel emits the waveform directly.
+            Batch gate: the win is padded-HBM-traffic elimination,
+            which scales with batch; measured on v5e the kernel gains
+            +18-26% throughput at batch 16 but LOSES ~10ms at batch 1
+            (streaming and single-stream stay on the XLA path).
+            Returns None when the shape is unsupported (XLA fallback).
+            """
+            c_out = x_in.shape[-1] // 2 if with_ups else x_in.shape[-1]
+            if not (
+                resblock_type == "1"
+                and 0 < c_out <= pallas_stage_max_channels
+                and 128 % c_out == 0
+                and x_in.shape[0] >= 4
+            ):
+                return None
             from ...ops.stage import hifigan_stage_fused
 
-            try:
-                out = hifigan_stage_fused(
-                    stage_params, x,
-                    resblock_kernel_sizes, resblock_dilation_sizes,
+            ups_kwargs = (
+                dict(
                     ups_params=params["ups"][str(i)],
                     ups_stride=u,
                     ups_padding=(k - u) // 2,
-                    # on the final stage the lrelu+conv_post+tanh head
-                    # fuses in too and the kernel emits the waveform —
-                    # the stage activation never round-trips HBM
-                    post_params=(
-                        params["conv_post"] if last_stage else None
-                    ),
                 )
-                if last_stage:
-                    return out  # [B, samples] float32
-                x = out
-                continue
-            except ValueError:
-                pass  # unsupported shape: fall through to XLA path
-        x = leaky_relu(x, LRELU_SLOPE)
-        x = conv_transpose1d(
-            x, params["ups"][str(i)], stride=u, padding=(k - u) // 2
-        )
-        if (
-            resblock_type == "1"
-            and 0 < x.shape[-1] <= pallas_stage_max_channels
-            and 128 % x.shape[-1] == 0
-            and x.shape[0] >= 4
-        ):
-            # ups not fusable (stride/channel mismatch) but the stage
-            # itself still is
-            from ...ops.stage import hifigan_stage_fused
-
+                if with_ups
+                else {}
+            )
             try:
-                out = hifigan_stage_fused(
-                    stage_params, x,
+                return hifigan_stage_fused(
+                    stage_params, x_in,
                     resblock_kernel_sizes, resblock_dilation_sizes,
                     post_params=(
                         params["conv_post"] if last_stage else None
                     ),
+                    **ups_kwargs,
                 )
-                if last_stage:
-                    return out
-                x = out
-                continue
             except ValueError:
-                pass
+                return None  # unsupported shape: XLA path
+
+        out = try_fused_stage(x, with_ups=True)
+        if out is None:
+            x = leaky_relu(x, LRELU_SLOPE)
+            x = conv_transpose1d(
+                x, params["ups"][str(i)], stride=u, padding=(k - u) // 2
+            )
+            # ups not fusable (stride/channel mismatch) but the stage
+            # itself may still be
+            out = try_fused_stage(x, with_ups=False)
+        if out is not None:
+            if last_stage:
+                return out  # [B, samples] float32 waveform
+            x = out
+            continue
         xs = None
         for j, (rk, rd) in enumerate(
             zip(resblock_kernel_sizes, resblock_dilation_sizes)

@@ -32,11 +32,20 @@ def initialize_distributed(
 ) -> bool:
     """Initialize `jax.distributed` when running multi-process.
 
-    Arguments default from the standard env vars
-    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
-    ``JAX_PROCESS_ID`` — also set by TPU pod runtimes automatically).
-    Returns True when a multi-process runtime was initialized, False
-    for the ordinary single-process case (no-op).  Idempotent.
+    Two activation paths:
+
+    - explicit coordinates, via arguments or the
+      ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+      ``JAX_PROCESS_ID`` env vars (manual launches, tests);
+    - ``MIMIC3_MULTIHOST=1`` with NO coordinates: defer to
+      ``jax.distributed.initialize()``'s own cluster auto-detection
+      (Cloud TPU pod metadata, Slurm, GKE, ...).  Pod runtimes do not
+      set the JAX_* env vars above, so auto-detection is the normal
+      path on a real pod; it is opt-in here because on a non-cluster
+      machine it fails rather than no-op.
+
+    Returns True when a multi-process runtime is active, False for the
+    ordinary single-process case (no-op).  Idempotent.
     """
     import jax
 
@@ -50,24 +59,37 @@ def initialize_distributed(
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
 
-    if coordinator_address is None and num_processes in (None, 1):
+    auto_detect = os.environ.get("MIMIC3_MULTIHOST", "").strip() in (
+        "1", "true", "yes",
+    )
+    if (
+        coordinator_address is None
+        and num_processes in (None, 1)
+        and not auto_detect
+    ):
         return False  # single process: nothing to do
 
-    try:
-        jax.distributed.initialize(
+    # pass only what we have; with no kwargs jax auto-detects the
+    # cluster environment
+    kwargs = {
+        key: value
+        for key, value in dict(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
-        )
+        ).items()
+        if value is not None
+    }
+    try:
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as err:
-        if "already initialized" in str(err).lower():
-            return True
-        raise
+        if "already initialized" not in str(err).lower():
+            raise
     _LOGGER.info(
         "jax.distributed initialized: process %s/%s",
         jax.process_index(), jax.process_count(),
     )
-    return True
+    return jax.process_count() > 1
 
 
 def make_global_mesh(

@@ -135,7 +135,6 @@ class EspeakPhonemizer:
             mode = _ESPEAKNG_PHONEMES_IPA | (sep_code << 8)
 
             clauses: typing.List[str] = []
-            consumed_upto = 0
             while text_ptr.contents.value:
                 before = text_ptr.contents.value - base
                 result = lib.espeak_TextToPhonemes(
@@ -171,10 +170,8 @@ class EspeakPhonemizer:
                             + breaker
                         )
                     clauses.append(clause_phonemes)
-                consumed_upto = after
                 if after >= len(utf8):
                     break
-            del consumed_upto
 
         joined = " ".join(clauses)
         if word_separator != " ":

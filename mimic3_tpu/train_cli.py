@@ -23,6 +23,44 @@ from pathlib import Path
 _LOGGER = logging.getLogger(__name__)
 
 
+def merge_pretrained(init_params, pretrained):
+    """Overlay inference weights onto freshly-initialized training params,
+    PRESERVING the training tree's structure.
+
+    generator.npz stores folded conv weights (``weight``), while training
+    params are weight-normed (``weight_v``/``weight_g``) — a wholesale
+    replace would change the pytree structure and crash the first
+    optimizer update.  Where the init tree uses weight norm and the
+    pretrained dict has a folded ``weight`` W, re-expand it as
+    ``v = W, g = ||W||`` (norm over all axes but the output channel,
+    matching layers.conv_weight) so ``g * v / ||v|| == W`` exactly.
+    """
+    import jax.numpy as jnp
+
+    if not isinstance(init_params, dict) or not isinstance(
+        pretrained, dict
+    ):
+        return pretrained  # leaf (or structure novelty): take pretrained
+    out = dict(init_params)
+    if "weight_v" in init_params and "weight" in pretrained:
+        w = jnp.asarray(pretrained["weight"])
+        norm = jnp.sqrt(
+            jnp.sum(jnp.square(w), axis=(0, 1), keepdims=True)
+        )
+        out["weight_v"] = w
+        out["weight_g"] = norm
+        pretrained = {
+            k: v for k, v in pretrained.items() if k != "weight"
+        }
+    for key, value in pretrained.items():
+        out[key] = (
+            merge_pretrained(init_params[key], value)
+            if key in init_params
+            else value
+        )
+    return out
+
+
 def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="mimic3-train",
@@ -119,9 +157,7 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
         pretrained = jax.tree_util.tree_map(
             jnp.asarray, load_pytree_npz(npz)
         )
-        merged = dict(state.params)
-        for key, value in pretrained.items():
-            merged[key] = value
+        merged = merge_pretrained(dict(state.params), pretrained)
         state = type(state)(
             params=merged,
             disc_params=state.disc_params,

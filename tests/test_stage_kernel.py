@@ -227,3 +227,59 @@ def test_stage_fused_rejects_bad_channels():
     x = jnp.zeros((1, 64, 48), jnp.float32)
     with pytest.raises(ValueError):
         hifigan_stage_fused(params, x, KERNELS, DILATIONS)
+
+
+def test_generator_dispatch_fused_matches_xla():
+    """hifigan_generator's fused-stage dispatch (pallas_stage_max_channels)
+    produces the same waveform as the plain XLA path — covers the
+    gate/fallback logic itself, not just the kernel."""
+    from mimic3_tpu.config import ModelConfig
+    from mimic3_tpu.models.vits import init_vits_params
+    from mimic3_tpu.models.vits.hifigan import hifigan_generator
+
+    config = ModelConfig(
+        num_symbols=40,
+        hidden_channels=32,
+        inter_channels=32,
+        filter_channels=64,
+        upsample_initial_channel=64,  # stages 32/16/8/4 channels
+    )
+    params = init_vits_params(jax.random.PRNGKey(0), config)["dec"]
+    rng = np.random.RandomState(0)
+    # batch >= 4 engages the kernel; T=64 frames keeps every folded
+    # stage's row count tile-alignable
+    z = jnp.asarray(rng.randn(4, 64, 32).astype(np.float32) * 0.3)
+
+    kwargs = dict(
+        resblock_type="1",
+        resblock_kernel_sizes=KERNELS,
+        resblock_dilation_sizes=DILATIONS,
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        compute_dtype=jnp.float32,
+    )
+    ref = np.asarray(
+        hifigan_generator(
+            params, z, pallas_stage_max_channels=0, **kwargs
+        )
+    )
+    got = np.asarray(
+        hifigan_generator(
+            params, z, pallas_stage_max_channels=32, **kwargs
+        )
+    )
+    assert ref.shape == got.shape == (4, 64 * 256)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+    # batch below the gate stays on the XLA path (bitwise identical)
+    small = np.asarray(
+        hifigan_generator(
+            params, z[:1], pallas_stage_max_channels=32, **kwargs
+        )
+    )
+    small_ref = np.asarray(
+        hifigan_generator(
+            params, z[:1], pallas_stage_max_channels=0, **kwargs
+        )
+    )
+    assert np.array_equal(small, small_ref)

@@ -175,3 +175,72 @@ def test_mesh_and_shardings():
     assert ffn_spec == jax.sharding.PartitionSpec(None, None, "tp")
     dec_spec = shardings["dec"]["conv_pre"]["weight"].spec
     assert dec_spec == jax.sharding.PartitionSpec()
+
+
+def test_finetune_overlay_from_folded_weights():
+    """Fine-tuning from a converted (folded-weight-norm) generator.npz:
+    the overlay must preserve the training tree's weight_v/weight_g
+    structure or the first optimizer update crashes on a pytree
+    mismatch (regression: train_cli fine-tune path)."""
+    from mimic3_tpu.models.vits.layers import conv_weight
+    from mimic3_tpu.train_cli import merge_pretrained
+
+    cfg = TrainingConfig()
+    cfg.model = ModelConfig(
+        num_symbols=40,
+        n_layers=1,
+        hidden_channels=32,
+        inter_channels=32,
+        filter_channels=64,
+        upsample_initial_channel=64,
+    )
+    cfg.segment_size = 2048
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+
+    # simulate an ONNX-converted voice: every weight-normed conv folded
+    def fold_tree(node):
+        if isinstance(node, dict):
+            if "weight_v" in node:
+                out = {
+                    k: v
+                    for k, v in node.items()
+                    if k not in ("weight_v", "weight_g")
+                }
+                out["weight"] = conv_weight(node)
+                return out
+            return {k: fold_tree(v) for k, v in node.items()}
+        return node
+
+    # inference npz holds only the synthesis modules
+    pretrained = {
+        k: fold_tree(state.params[k])
+        for k in ("enc_p", "dp", "flow", "dec")
+    }
+
+    merged = merge_pretrained(dict(state.params), pretrained)
+    # structure preserved: same treedef as the optimizer was built on
+    assert jax.tree_util.tree_structure(
+        merged
+    ) == jax.tree_util.tree_structure(state.params)
+    # values preserved: folded weights reproduce exactly
+    w_ref = conv_weight(state.params["dec"]["ups"]["0"])
+    w_got = conv_weight(merged["dec"]["ups"]["0"])
+    assert np.allclose(np.asarray(w_ref), np.asarray(w_got), atol=1e-6)
+
+    state = type(state)(
+        params=merged,
+        disc_params=state.disc_params,
+        opt_g=state.opt_g,
+        opt_d=state.opt_d,
+        step=state.step,
+    )
+    step = jax.jit(make_train_step(cfg))
+    rng = np.random.RandomState(0)
+    batch = TrainBatch(
+        phoneme_ids=jnp.asarray(rng.randint(1, 40, (2, 6)), jnp.int32),
+        text_lengths=jnp.array([6, 4], jnp.int32),
+        audio=jnp.asarray(rng.randn(2, 4096) * 0.1, jnp.float32),
+        spec_lengths=jnp.array([16, 12], jnp.int32),
+    )
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_g"]))

@@ -17,7 +17,7 @@ COPY mimic3_tpu ./mimic3_tpu
 COPY native ./native
 COPY scripts ./scripts
 
-RUN pip install --no-cache-dir "jax[cpu]" numpy && \
+RUN pip install --no-cache-dir setuptools "jax[cpu]" numpy && \
     pip install --no-cache-dir -e . --no-build-isolation && \
     g++ -O3 -shared -fPIC native/mimic3_native.cpp \
         -o native/libmimic3_native.so

@@ -233,6 +233,14 @@ class TextToSpeechSystem(ABC):
                                 wav_file.setnchannels(result.num_channels)
                                 wav_params_set = True
                             wav_file.writeframes(result.audio_bytes)
+                    if not wav_params_set:
+                        # no audio produced (empty/punctuation-only
+                        # input): emit a valid empty WAV instead of
+                        # letting Wave_write.close() raise
+                        wav_file.setframerate(22050)
+                        wav_file.setsampwidth(2)
+                        wav_file.setnchannels(1)
+                        wav_params_set = True
                 except Exception:
                     if not wav_params_set:
                         # Write a valid (empty) header so callers streaming the

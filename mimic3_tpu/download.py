@@ -18,7 +18,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from .utils import file_sha256_sum
-from .voices_registry import DEFAULT_VOICES_URL_FORMAT, get_voices_registry
+from .voices_registry import get_voices_registry, registry_url_template
 
 _LOGGER = logging.getLogger(__name__)
 
@@ -159,8 +159,14 @@ def _fetch(
 def is_voice_downloaded(
     voice_key: str,
     voices_dir: typing.Optional[typing.Union[str, Path]] = None,
+    verify_hashes: bool = True,
 ) -> bool:
-    """True when every registry file of the voice is present and valid."""
+    """True when every registry file of the voice is present and valid.
+
+    ``verify_hashes=False`` checks presence + size only — enough for
+    listings; full sha256 verification (the default) belongs on the
+    download/skip path, where it decides whether to re-fetch.
+    """
     info = get_voices_registry().get(voice_key)
     if info is None:
         return False
@@ -169,6 +175,11 @@ def is_voice_downloaded(
         path = voice_dir / rel_path
         if not path.is_file():
             return False
+        expected_size = file_info.get("size_bytes")
+        if expected_size and path.stat().st_size != expected_size:
+            return False
+        if not verify_hashes:
+            continue
         expected = file_info.get("sha256_sum")
         if expected:
             with open(path, "rb") as f:
@@ -180,10 +191,15 @@ def is_voice_downloaded(
 def download_voice_by_key(
     voice_key: str,
     voices_dir: typing.Optional[typing.Union[str, Path]] = None,
-    url_format: str = DEFAULT_VOICES_URL_FORMAT,
+    url_format: typing.Optional[str] = None,
     redownload: bool = False,
 ) -> Path:
-    """Download a registry voice by its key."""
+    """Download a registry voice by its key.
+
+    ``url_format`` defaults to the registry's own url_template.
+    """
+    if url_format is None:
+        url_format = registry_url_template()
     info = get_voices_registry().get(voice_key)
     if info is None:
         raise VoiceDownloadError(f"Voice not in registry: {voice_key}")

@@ -17,7 +17,7 @@ from .download import (
     is_voice_downloaded,
 )
 from .utils import WILDCARD, wildcard_to_regex
-from .voices_registry import DEFAULT_VOICES_URL_FORMAT, get_voices_registry
+from .voices_registry import get_voices_registry
 
 _LOGGER = logging.getLogger(__name__)
 
@@ -37,8 +37,9 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     )
     parser.add_argument(
         "--url-format",
-        default=DEFAULT_VOICES_URL_FORMAT,
-        help="URL format string ({key}/{lang}/{name} placeholders)",
+        default=None,
+        help="URL format string ({key}/{lang}/{name} placeholders); "
+        "default: the registry's url_template",
     )
     parser.add_argument(
         "--redownload",
@@ -61,7 +62,11 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
         for key in sorted(registry):
             status = (
                 "[downloaded]"
-                if is_voice_downloaded(key, args.output_dir)
+                # presence/size only: hashing every installed voice
+                # would read gigabytes just to print a listing
+                if is_voice_downloaded(
+                    key, args.output_dir, verify_hashes=False
+                )
                 else ""
             )
             print(key, status)

@@ -45,7 +45,7 @@ from .utils import WILDCARD, scale_int16_volume, wildcard_to_regex
 from .voices_registry import (
     DEFAULT_LANGUAGE,
     DEFAULT_VOICE,
-    DEFAULT_VOICES_URL_FORMAT,
+    registry_url_template,
     get_voices_registry,
 )
 
@@ -66,7 +66,9 @@ class Mimic3Settings:
     voices_directories: typing.Optional[
         typing.Iterable[typing.Union[str, Path]]
     ] = None
-    voices_url_format: typing.Optional[str] = DEFAULT_VOICES_URL_FORMAT
+    # None: use the registry's own url_template (falls back to the
+    # default GitHub template)
+    voices_url_format: typing.Optional[str] = None
     speaker: typing.Optional[typing.Union[str, int]] = None
     length_scale: typing.Optional[float] = None
     noise_scale: typing.Optional[float] = None
@@ -271,7 +273,7 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
                 speakers=info.get("speakers") or None,
                 location=str.format(
                     self.settings.voices_url_format
-                    or DEFAULT_VOICES_URL_FORMAT,
+                    or registry_url_template(),
                     lang=voice_lang,
                     name=voice_name,
                     key=voice_key,
@@ -548,7 +550,7 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
             raise VoiceNotFoundError(voice_key)
         lang, name = voice_key.split("/", maxsplit=1)
         url_base = str.format(
-            self.settings.voices_url_format or DEFAULT_VOICES_URL_FORMAT,
+            self.settings.voices_url_format or registry_url_template(),
             key=voice_key,
             lang=lang,
             name=name,

@@ -32,6 +32,7 @@ class ServerConfig:
     noise_scale: typing.Optional[float] = None
     noise_w: typing.Optional[float] = None
     cache_dir: typing.Optional[str] = None
+    cache_dir_is_temp: bool = False  # auto-created: removed at shutdown
     max_text_length: typing.Optional[int] = None
     deterministic: bool = False
     no_download: bool = False
@@ -138,10 +139,12 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
     import tempfile
 
     cache_dir: typing.Optional[str]
+    cache_dir_is_temp = False
     if args.cache_dir is _MISSING:
         cache_dir = None  # caching disabled
     elif args.cache_dir is None:
         cache_dir = tempfile.mkdtemp(prefix="mimic3_tpu_cache_")
+        cache_dir_is_temp = True
     else:
         cache_dir = args.cache_dir
 
@@ -163,6 +166,7 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
         noise_scale=args.noise_scale,
         noise_w=args.noise_w,
         cache_dir=cache_dir,
+        cache_dir_is_temp=cache_dir_is_temp,
         max_text_length=args.max_text_length,
         deterministic=args.deterministic,
         no_download=args.no_download,
@@ -185,11 +189,15 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO
     )
+    import os
+
     if args.dp and args.dp != 1:
         # voice sessions read this at load time (runtime/voice.py)
-        import os
-
         os.environ["MIMIC3_DP"] = str(args.dp)
+    elif args.dp:
+        # explicit --dp 1 overrides an inherited MIMIC3_DP: the flag's
+        # documented single-device semantics win over the environment
+        os.environ.pop("MIMIC3_DP", None)
 
     from .app import TtsApp, build_server
 
@@ -198,6 +206,14 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     app.preload()
     server = build_server(app)
 
+    # systemd/docker stop via SIGTERM must unwind like Ctrl-C so the
+    # finally-block cleanup (scheduler, auto-created cache dir) runs
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         asyncio.run(server.serve(config.host, config.port))
     except KeyboardInterrupt:

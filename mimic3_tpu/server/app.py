@@ -458,6 +458,13 @@ class TtsApp:
     def shutdown(self) -> None:
         self._executor.shutdown(wait=False)
         self.scheduler.shutdown()
+        if (
+            getattr(self.config, "cache_dir_is_temp", False)
+            and self.cache_dir is not None
+        ):
+            import shutil
+
+            shutil.rmtree(self.cache_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

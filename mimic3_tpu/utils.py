@@ -53,10 +53,13 @@ def scale_int16_volume(audio_bytes: bytes, volume_0_100: float) -> bytes:
     fast = native.scale_i16(audio_bytes, factor)
     if fast is not None:
         return fast
-    samples = np.frombuffer(audio_bytes, dtype=np.int16).astype(np.float64)
+    samples = np.frombuffer(audio_bytes, dtype=np.int16).astype(np.float32)
     # audioop.mul truncates toward zero after scaling and wraps on overflow;
     # we clip instead (safer, inaudible difference at volume <= 100).
-    scaled = np.clip(np.trunc(samples * factor), -32768, 32767)
+    # float32 like the native path, so both produce identical bytes
+    scaled = np.clip(
+        np.trunc(samples * np.float32(factor)), -32768, 32767
+    )
     return scaled.astype(np.int16).tobytes()
 
 

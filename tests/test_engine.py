@@ -145,3 +145,46 @@ def test_deterministic_synthesis(voices_root):
         return tts.text_to_wav("the same text every time")
 
     assert synth() == synth()
+
+
+def test_text_to_wav_no_audio_yields_empty_wav():
+    """When synthesis yields no AudioResult, text_to_wav returns a valid
+    zero-frame WAV instead of wave.Error from an unparameterized
+    Wave_write.close() (raised in __exit__, after the in-function
+    handler)."""
+    from mimic3_tpu.api import TextToSpeechSystem, Voice
+
+    class SilentTts(TextToSpeechSystem):
+        voice = "x"
+        language = "en"
+        volume = 100.0
+        rate = 1.0
+
+        def get_voices(self):
+            return []
+
+        def begin_utterance(self):
+            pass
+
+        def speak_text(self, text, text_language=None):
+            pass
+
+        def speak_tokens(self, tokens):
+            pass
+
+        def add_break(self, time_ms):
+            pass
+
+        def set_mark(self, name):
+            pass
+
+        def end_utterance(self):
+            return []
+
+        def shutdown(self):
+            pass
+
+    wav_bytes = SilentTts().text_to_wav("anything")
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getnframes() == 0
+        assert w.getframerate() == 22050

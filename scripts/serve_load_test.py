@@ -66,6 +66,8 @@ def main() -> int:
         check=True,
     )
 
+    server_log = open(voices_root / "server.log", "wb")
+    print(f"server log: {voices_root}/server.log", flush=True)
     server = subprocess.Popen(
         [
             sys.executable, "-m", "mimic3_tpu.server",
@@ -75,8 +77,8 @@ def main() -> int:
             "--warmup",
             "--no-download",
         ],
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stdout=server_log,
+        stderr=subprocess.STDOUT,
     )
     try:
         print("waiting for warmup...", flush=True)

@@ -95,3 +95,27 @@ def test_download_sha_mismatch(tmp_path):
 def test_is_voice_downloaded_false_for_missing(tmp_path):
     assert not is_voice_downloaded("en_UK/apope_low", tmp_path)
     assert not is_voice_downloaded("not/a_voice", tmp_path)
+
+
+def test_is_voice_downloaded_size_only_mode(tmp_path):
+    """verify_hashes=False checks presence+size (fast listing path);
+    the default still verifies sha256."""
+    from mimic3_tpu.voices_registry import get_voices_registry
+
+    key = "en_UK/apope_low"
+    info = get_voices_registry()[key]
+    voice_dir = tmp_path / key
+    voice_dir.mkdir(parents=True)
+    for rel_path, file_info in info["files"].items():
+        path = voice_dir / rel_path
+        path.parent.mkdir(parents=True, exist_ok=True)
+        # right size, wrong content -> wrong hash
+        path.write_bytes(b"x" * int(file_info["size_bytes"]))
+
+    assert is_voice_downloaded(key, tmp_path, verify_hashes=False)
+    assert not is_voice_downloaded(key, tmp_path)  # sha256 mismatch
+
+    # wrong size fails even without hashing
+    first = next(iter(info["files"]))
+    (voice_dir / first).write_bytes(b"short")
+    assert not is_voice_downloaded(key, tmp_path, verify_hashes=False)

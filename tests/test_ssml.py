@@ -215,3 +215,38 @@ def test_parse_rate():
     assert parse_rate("150%") == 1.5
     assert parse_rate("2") == 2.0
     assert parse_rate("") == 1.0
+
+
+def test_malformed_inputs_do_not_crash():
+    """Untrusted SSML (the server feeds request bodies here) either
+    synthesizes best-effort or raises ParseError — never IndexError/
+    KeyError/AttributeError from tag handling."""
+    from xml.etree.ElementTree import ParseError
+
+    cases = [
+        "",  # empty
+        "plain text, no xml at all",
+        "<speak>",  # unclosed root (wrapped retry also fails)
+        "<speak><s>unclosed sentence</speak>",
+        "<speak><voice/></speak>",  # voice with no name
+        '<speak><voice name="">empty name</voice></speak>',
+        "<speak><break/>only a break</speak>",
+        '<speak><break time="garbage"/>x</speak>',
+        '<speak><prosody rate="">y</prosody></speak>',
+        '<speak><prosody volume="loudish">z</prosody></speak>',
+        '<speak><phoneme>no ph attr</phoneme></speak>',
+        '<speak><say-as>no interpret-as</say-as></speak>',
+        '<speak><mark/></speak>',  # mark with no name
+        '<speak><sub>no alias</sub></speak>',
+        "<speak>" + "<s>" * 50 + "deep" + "</s>" * 50 + "</speak>",
+        "<speak>&amp;&lt;&gt;</speak>",
+        '<?xml version="1.0"?><speak>decl</speak>',
+        "<speak><unknown-tag>inside</unknown-tag></speak>",
+        "<speak><metadata><junk/></metadata>after</speak>",
+    ]
+    for ssml in cases:
+        tts = FakeTTS()
+        try:
+            list(SSMLSpeaker(tts).speak(ssml))
+        except ParseError:
+            pass  # acceptable for truly invalid XML

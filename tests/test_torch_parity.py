@@ -234,3 +234,57 @@ def test_full_infer_parity_deterministic(torch_model, jax_setup, sample):
         np.testing.assert_allclose(got, ref[:n], atol=5e-5)
         corr = np.corrcoef(got, ref[:n])[0, 1]
         assert corr > 0.9999, f"waveform correlation {corr}"
+
+
+def test_resblock2_matches_torch():
+    """resblock2 (resblock="2" voices) vs the torch oracle; also an
+    end-to-end decode smoke with a resblock-2 config."""
+    import tests.torch_oracle as oracle
+
+    torch.manual_seed(5)
+    c, k, dil = 16, 3, (1, 3)
+    block = oracle.ResBlock2(c, k, dil)
+    params = state_dict_to_pytree(
+        oracle.state_dict_numpy(block), strip_prefixes=()
+    )
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 64, c).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = (
+            block(torch.from_numpy(x.transpose(0, 2, 1)))
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+
+    from mimic3_tpu.models.vits.hifigan import resblock2
+
+    got = np.asarray(resblock2(params, jnp.asarray(x), k, dil))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+    # full model smoke at resblock="2": decode runs, finite audio
+    from mimic3_tpu.config import ModelConfig
+    from mimic3_tpu.models.vits import VitsModel, init_vits_params
+
+    config = ModelConfig(
+        num_symbols=40,
+        n_layers=1,
+        hidden_channels=32,
+        inter_channels=32,
+        filter_channels=64,
+        upsample_initial_channel=64,
+        resblock="2",
+        resblock_kernel_sizes=(3, 5, 7),
+        resblock_dilation_sizes=((1, 2), (2, 6), (3, 12)),
+    )
+    model = VitsModel(config)
+    mparams = init_vits_params(jax.random.PRNGKey(0), config)
+    ids = jnp.asarray(rng.randint(1, 40, (2, 8)), jnp.int32)
+    lengths = jnp.full((2,), 8, jnp.int32)
+    audio, audio_lengths = model.infer(
+        mparams, ids, lengths, jax.random.PRNGKey(1),
+        jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.0),
+        max_frames=32,
+    )
+    assert np.isfinite(np.asarray(audio)).all()
+    assert int(np.asarray(audio_lengths).max()) > 0

@@ -530,6 +530,38 @@ class ResBlock1(nn.Module):
         return x
 
 
+class ResBlock2(nn.Module):
+    """HiFi-GAN ResBlock2 (upstream VITS resblock="2"): one dilated
+    conv per dilation step, residual added each step."""
+
+    def __init__(self, channels, kernel, dilations):
+        super().__init__()
+        wn = nn.utils.parametrizations.weight_norm
+        self.convs = nn.ModuleList(
+            [
+                wn(
+                    nn.Conv1d(
+                        channels,
+                        channels,
+                        kernel,
+                        dilation=d,
+                        padding=(kernel * d - d) // 2,
+                    )
+                )
+                for d in dilations
+            ]
+        )
+        for m in self.convs:
+            nn.init.normal_(m.parametrizations.weight.original1, 0.0, 0.01)
+
+    def forward(self, x):
+        for c in self.convs:
+            xt = F.leaky_relu(x, 0.1)
+            xt = c(xt)
+            x = x + xt
+        return x
+
+
 class HiFiGAN(nn.Module):
     def __init__(
         self,

@@ -116,6 +116,18 @@ class Voice:
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_WAV_PARAMS = (22050, 2, 1)  # rate, sample width, channels
+
+
+def set_default_wav_params(wav_file: "wave.Wave_write") -> None:
+    """Parameterize an empty/fallback WAV (a Wave_write with no params
+    raises from close())."""
+    rate, width, channels = DEFAULT_WAV_PARAMS
+    wav_file.setframerate(rate)
+    wav_file.setsampwidth(width)
+    wav_file.setnchannels(channels)
+
+
 class TextToSpeechSystem(ABC):
     """Abstract base class for text-to-speech systems.
 
@@ -237,18 +249,15 @@ class TextToSpeechSystem(ABC):
                         # no audio produced (empty/punctuation-only
                         # input): emit a valid empty WAV instead of
                         # letting Wave_write.close() raise
-                        wav_file.setframerate(22050)
-                        wav_file.setsampwidth(2)
-                        wav_file.setnchannels(1)
+                        set_default_wav_params(wav_file)
                         wav_params_set = True
                 except Exception:
                     if not wav_params_set:
-                        # Write a valid (empty) header so callers streaming the
-                        # buffer still see a parseable WAV while the exception
-                        # propagates (reference: opentts_abc/__init__.py:307-314).
-                        wav_file.setframerate(22050)
-                        wav_file.setsampwidth(2)
-                        wav_file.setnchannels(1)
+                        # Valid (empty) header so callers streaming the
+                        # buffer still see a parseable WAV while the
+                        # exception propagates
+                        # (reference: opentts_abc/__init__.py:307-314).
+                        set_default_wav_params(wav_file)
                     raise
 
             return wav_io.getvalue()

@@ -506,6 +506,17 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
             for voices_dir in self._voice_search_dirs():
                 candidate_dir = Path(voices_dir) / voice_key
                 if (candidate_dir / "config.json").is_file():
+                    try:
+                        TrainingConfig.load_path(
+                            candidate_dir / "config.json"
+                        )
+                    except Exception:
+                        # corrupt config: let the full scan skip this
+                        # dir (and the registry path re-download it)
+                        _LOGGER.warning(
+                            "Bad voice config: %s", candidate_dir
+                        )
+                        break
                     model_dir = candidate_dir
                     break
         for candidate in self.get_voices() if model_dir is None else ():

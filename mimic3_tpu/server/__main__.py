@@ -126,10 +126,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "POST /api/profile (TensorBoard/xprof format)",
     )
     parser.add_argument(
-        "--dp", type=int, default=0,
+        "--dp", type=int, default=None,
         help="Serve data-parallel over this many devices (batch "
         "dimension sharded across a jax mesh); -1 = all devices, "
-        "0/1 = single device. Also settable via $MIMIC3_DP.",
+        "0/1 = single device (and overrides $MIMIC3_DP). "
+        "Default: $MIMIC3_DP, else single device.",
     )
     parser.add_argument("--debug", action="store_true")
     return parser
@@ -191,13 +192,14 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     )
     import os
 
-    if args.dp and args.dp != 1:
-        # voice sessions read this at load time (runtime/voice.py)
-        os.environ["MIMIC3_DP"] = str(args.dp)
-    elif args.dp:
-        # explicit --dp 1 overrides an inherited MIMIC3_DP: the flag's
-        # documented single-device semantics win over the environment
-        os.environ.pop("MIMIC3_DP", None)
+    if args.dp is not None:
+        if args.dp in (0, 1):
+            # explicit single-device request overrides an inherited
+            # MIMIC3_DP (the flag's documented semantics win)
+            os.environ.pop("MIMIC3_DP", None)
+        else:
+            # voice sessions read this at load time (runtime/voice.py)
+            os.environ["MIMIC3_DP"] = str(args.dp)
 
     from .app import TtsApp, build_server
 

@@ -201,10 +201,23 @@ class TtsApp:
 
     # -- synthesis ----------------------------------------------------------------
 
+    def _set_request_voice(self, engine, requested: str) -> None:
+        """Point a (reused) thread engine at this request's voice.
+
+        Engines persist per worker thread, and the engine.voice setter
+        keeps the previous speaker when the voice key is unchanged — so
+        a request WITHOUT a '#speaker' suffix must reset the speaker
+        explicitly, or it inherits the previous request's."""
+        engine.voice = requested
+        if "#" not in requested:
+            engine.speaker = None
+
     def _results_blocking(self, params: TtsParams):
         """Configure a thread engine and yield BaseResults for params."""
         engine = self._thread_engine()
-        engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
+        self._set_request_voice(
+            engine, params.voice or self.config.voice or DEFAULT_VOICE
+        )
         if params.length_scale is not None:
             engine.settings.length_scale = params.length_scale
         else:
@@ -257,9 +270,9 @@ class TtsApp:
                             params_set = True
                         wav_file.writeframes(result.audio_bytes)
                 if not params_set:
-                    wav_file.setframerate(22050)
-                    wav_file.setsampwidth(2)
-                    wav_file.setnchannels(1)
+                    from ..api import set_default_wav_params
+
+                    set_default_wav_params(wav_file)
             return wav_io.getvalue()
 
     async def text_to_wav(
@@ -291,7 +304,9 @@ class TtsApp:
         import numpy as np
 
         engine = self._thread_engine()
-        engine.voice = params.voice or self.config.voice or DEFAULT_VOICE
+        self._set_request_voice(
+            engine, params.voice or self.config.voice or DEFAULT_VOICE
+        )
         voice = engine._get_or_load_voice(engine.voice)
         self._wire_session(engine.voice, voice)
         # the voice setter split any '#speaker' suffix into

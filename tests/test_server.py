@@ -349,3 +349,39 @@ def test_concurrent_requests_batch(server):
     _, body, _ = get("/api/stats")
     stats = json.loads(body)
     assert stats["scheduler"]["items"] >= 6
+
+
+def test_no_speaker_leak_between_requests(tmp_path):
+    """A request without '#speaker' must not inherit the previous
+    request's speaker on a reused worker-thread engine."""
+    import types
+
+    from mimic3_tpu.runtime.testvoice import create_test_voice
+    from mimic3_tpu.server.app import TtsApp, TtsParams
+
+    create_test_voice(
+        tmp_path / "en_US" / "multi_low", full_size=False,
+        n_speakers=4, seed=11,
+    )
+    cfg = types.SimpleNamespace(
+        voice=None, speaker=None, default_voice=None, show_openapi=True,
+        voices_dir=[str(tmp_path)], preload_voice=[], length_scale=None,
+        noise_scale=0.0, noise_w=0.0, cache_dir=None,
+        cache_dir_is_temp=False, max_text_length=None, deterministic=True,
+        no_download=True, play_program="aplay", num_workers=1,
+        max_batch=4, batch_delay_ms=1.0, warmup=False, profile_dir=None,
+    )
+    app = TtsApp(cfg)
+    try:
+        def synth(voice):
+            return app._synthesize_blocking(
+                TtsParams(text="hello there", voice=voice)
+            )
+
+        default_first = synth("en_US/multi_low")  # before any #speaker
+        spk2 = synth("en_US/multi_low#2")
+        default_again = synth("en_US/multi_low")  # same thread, no '#'
+        assert spk2 != default_first  # speakers actually differ
+        assert default_again == default_first  # no leak from #2
+    finally:
+        app.shutdown()

@@ -2,6 +2,7 @@
 
 import io
 import wave
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -188,3 +189,25 @@ def test_text_to_wav_no_audio_yields_empty_wav():
     with wave.open(io.BytesIO(wav_bytes)) as w:
         assert w.getnframes() == 0
         assert w.getframerate() == 22050
+
+
+def test_corrupt_config_falls_back_to_scan(tmp_path):
+    """A voice dir with corrupt config.json must not be picked by the
+    exact-key fast path; the scan finds a healthy copy elsewhere."""
+    bad_root = tmp_path / "bad"
+    good_root = tmp_path / "good"
+    bad_dir = bad_root / "en_US" / "dup_low"
+    bad_dir.mkdir(parents=True)
+    (bad_dir / "config.json").write_text("{ truncated")
+    create_test_voice(
+        good_root / "en_US" / "dup_low", full_size=False, seed=21
+    )
+
+    tts = Mimic3TextToSpeechSystem(
+        Mimic3Settings(
+            voices_directories=[str(bad_root), str(good_root)],
+            no_download=True,
+        )
+    )
+    voice = tts._get_or_load_voice("en_US/dup_low")
+    assert Path(voice.location).parent.parent == good_root

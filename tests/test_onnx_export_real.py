@@ -267,3 +267,80 @@ def test_recovery_without_scoped_node_names(export_path, torch_model):
         np.testing.assert_allclose(
             named[name], arr, atol=1e-6, err_msg=name
         )
+
+
+@pytest.mark.slow
+def test_full_size_real_export_matches_oracle(tmp_path):
+    """The whole real-voice chain at TRUE *_low dimensions: torch
+    oracle -> torch.onnx.export (anonymized initializers) -> protobuf
+    reader -> name recovery -> full-size JAX synthesis parity.  This is
+    the closest offline simulation of loading a downloaded voice
+    (reference export: mimic3_tts/voice.py:403-405)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits import VitsModel
+
+    n_vocab = 130
+    t_text = 9
+    max_frames = 120
+    config = ModelConfig(num_symbols=n_vocab)  # real *_low defaults
+    torch.manual_seed(3)
+    net = oracle.SynthesizerTrn(n_vocab)  # oracle defaults = *_low
+    net.eval()
+
+    _install_onnx_stub()
+    path = tmp_path / "generator.onnx"
+    ids_trace = torch.tensor(
+        np.random.RandomState(2).randint(1, n_vocab, (1, t_text))
+    )
+    torch.onnx.export(
+        _ExportWrapper(net),
+        (
+            ids_trace,
+            torch.tensor([t_text]),
+            torch.zeros(1, 2, t_text),
+            torch.zeros(1, config.inter_channels, max_frames),
+        ),
+        str(path),
+        input_names=[
+            "input", "input_lengths", "dur_noise", "prior_noise"
+        ],
+        output_names=["output", "y_lengths", "w_ceil"],
+        do_constant_folding=True,
+        opset_version=17,
+        dynamo=False,
+    )
+
+    params = onnx_to_pytree(path, model_config=config)
+    model = VitsModel(config, decoder_dtype=jnp.float32)
+
+    ids = np.random.RandomState(9).randint(1, n_vocab, (1, t_text))
+    lengths = np.array([t_text])
+    with torch.no_grad():
+        audio_t, _ylen, w_t = net.infer(
+            torch.tensor(ids),
+            torch.tensor(lengths),
+            noise_scale=0.0,
+            length_scale=1.0,
+            noise_w=0.0,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    durs, totals = model.infer_durations(
+        params, jnp.array(ids), jnp.array(lengths), rng,
+        jnp.float32(1.0), jnp.float32(0.0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(durs), w_t.numpy()[:, 0, :].astype(np.int32)
+    )
+    audio_j, alen_j = model.decode_frames(
+        params, jnp.array(ids), jnp.array(lengths), durs,
+        int(np.asarray(totals).max()), rng, jnp.float32(0.0),
+    )
+    n = int(alen_j[0])
+    got = np.asarray(audio_j)[0, :n]
+    ref = audio_t.numpy()[0][:n]
+    corr = np.corrcoef(got, ref)[0, 1]
+    assert corr > 0.999, f"waveform correlation {corr}"
+    np.testing.assert_allclose(got, ref, atol=5e-4)

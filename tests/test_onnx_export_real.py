@@ -344,3 +344,125 @@ def test_full_size_real_export_matches_oracle(tmp_path):
     corr = np.corrcoef(got, ref)[0, 1]
     assert corr > 0.999, f"waveform correlation {corr}"
     np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+class _ExportWrapperSid(torch.nn.Module):
+    """Traceable multispeaker inference graph (adds the ``sid`` input
+    real multispeaker voices carry, reference: mimic3_tts/voice.py:198-218)."""
+
+    def __init__(self, net):
+        super().__init__()
+        self.net = net
+
+    def forward(self, ids, lengths, sid, dur_noise, prior_noise):
+        audio, y_lengths, w = self.net.infer(
+            ids,
+            lengths,
+            noise_scale=0.667,
+            length_scale=1.0,
+            noise_w=0.8,
+            sid=sid,
+            dur_noise=dur_noise,
+            prior_noise=prior_noise,
+        )
+        return audio, y_lengths, w
+
+
+def test_multispeaker_real_export_matches_oracle(tmp_path):
+    """Real torch.onnx.export of a MULTISPEAKER graph (sid/emb_g/cond
+    convs, like en_US/vctk_low) -> converter -> per-speaker parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits import VitsModel
+
+    n_speakers, gin = 5, 32
+    config = ModelConfig(
+        num_symbols=N_VOCAB,
+        inter_channels=INTER,
+        hidden_channels=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        upsample_initial_channel=INITIAL,
+        upsample_rates=RATES,
+        upsample_kernel_sizes=UPK,
+        n_speakers=n_speakers,
+        gin_channels=gin,
+    )
+    torch.manual_seed(13)
+    net = oracle.SynthesizerTrn(
+        N_VOCAB,
+        inter_channels=INTER,
+        hidden=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        initial_channel=INITIAL,
+        rates=RATES,
+        up_kernels=UPK,
+        n_speakers=n_speakers,
+        gin_channels=gin,
+    )
+    net.eval()
+
+    _install_onnx_stub()
+    path = tmp_path / "generator.onnx"
+    ids_trace = torch.tensor(
+        np.random.RandomState(4).randint(1, N_VOCAB, (1, T_TEXT))
+    )
+    torch.onnx.export(
+        _ExportWrapperSid(net),
+        (
+            ids_trace,
+            torch.tensor([T_TEXT]),
+            torch.tensor([1]),
+            torch.zeros(1, 2, T_TEXT),
+            torch.zeros(1, INTER, MAX_FRAMES),
+        ),
+        str(path),
+        input_names=[
+            "input", "input_lengths", "sid", "dur_noise", "prior_noise"
+        ],
+        output_names=["output", "y_lengths", "w_ceil"],
+        do_constant_folding=True,
+        opset_version=17,
+        dynamo=False,
+    )
+
+    params = onnx_to_pytree(path, model_config=config)
+    assert "emb_g" in params, "speaker embedding not recovered"
+    model = VitsModel(config, decoder_dtype=jnp.float32)
+
+    ids = np.random.RandomState(6).randint(1, N_VOCAB, (1, T_TEXT))
+    lengths = np.array([T_TEXT])
+    rng = jax.random.PRNGKey(0)
+    for speaker in (0, 3):
+        with torch.no_grad():
+            audio_t, _ylen, w_t = net.infer(
+                torch.tensor(ids),
+                torch.tensor(lengths),
+                noise_scale=0.0,
+                length_scale=1.0,
+                noise_w=0.0,
+                sid=torch.tensor([speaker]),
+            )
+        sid = jnp.array([speaker], jnp.int32)
+        durs, totals = model.infer_durations(
+            params, jnp.array(ids), jnp.array(lengths), rng,
+            jnp.float32(1.0), jnp.float32(0.0), sid=sid,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(durs), w_t.numpy()[:, 0, :].astype(np.int32)
+        )
+        audio_j, alen_j = model.decode_frames(
+            params, jnp.array(ids), jnp.array(lengths), durs,
+            int(np.asarray(totals).max()), rng, jnp.float32(0.0),
+            sid=sid,
+        )
+        n = int(alen_j[0])
+        got = np.asarray(audio_j)[0, :n]
+        ref = audio_t.numpy()[0][:n]
+        corr = np.corrcoef(got, ref)[0, 1]
+        assert corr > 0.999, f"speaker {speaker} correlation {corr}"
+        np.testing.assert_allclose(got, ref, atol=5e-5)

@@ -288,3 +288,69 @@ def test_resblock2_matches_torch():
     )
     assert np.isfinite(np.asarray(audio)).all()
     assert int(np.asarray(audio_lengths).max()) > 0
+
+
+def test_deterministic_duration_predictor_matches_torch():
+    """use_sdp=False voices: the two-conv duration predictor vs the
+    torch oracle, plus a full infer smoke with use_sdp disabled."""
+    import tests.torch_oracle as oracle
+
+    torch.manual_seed(17)
+    hid, gin = 32, 16
+    block = oracle.DurationPredictor(hid, 64, 3, gin_channels=gin)
+    block.eval()
+    params = state_dict_to_pytree(
+        oracle.state_dict_numpy(block), strip_prefixes=()
+    )
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 12, hid).astype(np.float32)
+    g = rng.randn(2, 1, gin).astype(np.float32)
+    mask = np.ones((2, 12, 1), np.float32)
+    mask[1, 9:] = 0.0
+    with torch.no_grad():
+        ref = (
+            block(
+                torch.from_numpy(x.transpose(0, 2, 1)),
+                torch.from_numpy(mask.transpose(0, 2, 1)),
+                g=torch.from_numpy(g.transpose(0, 2, 1)),
+            )
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+
+    from mimic3_tpu.models.vits.duration import duration_predictor
+
+    got = np.asarray(
+        duration_predictor(
+            params, jnp.asarray(x), jnp.asarray(mask), jnp.asarray(g),
+            kernel_size=3,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+    # model-level smoke: use_sdp=False init + infer end-to-end
+    from mimic3_tpu.config import ModelConfig
+    from mimic3_tpu.models.vits import VitsModel, init_vits_params
+
+    config = ModelConfig(
+        num_symbols=40,
+        n_layers=1,
+        hidden_channels=32,
+        inter_channels=32,
+        filter_channels=64,
+        upsample_initial_channel=64,
+        use_sdp=False,
+    )
+    model = VitsModel(config)
+    mparams = init_vits_params(jax.random.PRNGKey(3), config)
+    assert "conv_1" in mparams["dp"]  # deterministic DP layout
+    ids = jnp.asarray(rng.randint(1, 40, (2, 8)), jnp.int32)
+    lengths = jnp.full((2,), 8, jnp.int32)
+    audio, audio_lengths = model.infer(
+        mparams, ids, lengths, jax.random.PRNGKey(1),
+        jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.0),
+        max_frames=64,
+    )
+    assert np.isfinite(np.asarray(audio)).all()
+    assert int(np.asarray(audio_lengths).max()) > 0

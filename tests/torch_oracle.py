@@ -615,6 +615,40 @@ class HiFiGAN(nn.Module):
         return torch.tanh(x)
 
 
+class DurationPredictor(nn.Module):
+    """Deterministic duration predictor (use_sdp=False voices):
+    conv-relu-layernorm x2 + 1x1 projection, upstream VITS layout."""
+
+    def __init__(self, in_channels, filter_channels=256, kernel=3,
+                 gin_channels=0):
+        super().__init__()
+        pad = kernel // 2
+        self.conv_1 = nn.Conv1d(
+            in_channels, filter_channels, kernel, padding=pad
+        )
+        self.norm_1 = LayerNormC(filter_channels)
+        self.conv_2 = nn.Conv1d(
+            filter_channels, filter_channels, kernel, padding=pad
+        )
+        self.norm_2 = LayerNormC(filter_channels)
+        self.proj = nn.Conv1d(filter_channels, 1, 1)
+        if gin_channels:
+            self.cond = nn.Conv1d(gin_channels, in_channels, 1)
+
+    def forward(self, x, x_mask, g=None):
+        x = x.detach()
+        if g is not None:
+            x = x + self.cond(g.detach())
+        x = self.conv_1(x * x_mask)
+        x = torch.relu(x)
+        x = self.norm_1(x)
+        x = self.conv_2(x * x_mask)
+        x = torch.relu(x)
+        x = self.norm_2(x)
+        x = self.proj(x * x_mask)
+        return x * x_mask
+
+
 class SynthesizerTrn(nn.Module):
     """Full VITS inference graph (torch oracle)."""
 

@@ -306,15 +306,20 @@ def expected_execution_order(model_config) -> typing.List[str]:
     if ms:
         order.append("dec.cond")
     nk = len(cfg.resblock_kernel_sizes)
+    resblock2 = getattr(cfg, "resblock", "1") == "2"
     for i in range(len(cfg.upsample_rates)):
         order.append(f"dec.ups.{i}")
         for j in range(nk):
             rb = i * nk + j
             for layer in range(len(cfg.resblock_dilation_sizes[j])):
-                order += [
-                    f"dec.resblocks.{rb}.convs1.{layer}",
-                    f"dec.resblocks.{rb}.convs2.{layer}",
-                ]
+                if resblock2:
+                    # ResBlock2: one dilated conv per step ("convs")
+                    order.append(f"dec.resblocks.{rb}.convs.{layer}")
+                else:
+                    order += [
+                        f"dec.resblocks.{rb}.convs1.{layer}",
+                        f"dec.resblocks.{rb}.convs2.{layer}",
+                    ]
     order.append("dec.conv_post")
     return order
 

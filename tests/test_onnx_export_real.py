@@ -466,3 +466,98 @@ def test_multispeaker_real_export_matches_oracle(tmp_path):
         corr = np.corrcoef(got, ref)[0, 1]
         assert corr > 0.999, f"speaker {speaker} correlation {corr}"
         np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_resblock2_real_export_matches_oracle(tmp_path):
+    """resblock="2" voices through the real-export chain: anonymized
+    initializer recovery must follow the ResBlock2 execution order
+    (one dilated conv per step, 'convs' not convs1/convs2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits import VitsModel
+
+    rks = (3, 5, 7)
+    rds = ((1, 2), (2, 6), (3, 12))
+    config = ModelConfig(
+        num_symbols=N_VOCAB,
+        inter_channels=INTER,
+        hidden_channels=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        upsample_initial_channel=INITIAL,
+        upsample_rates=RATES,
+        upsample_kernel_sizes=UPK,
+        resblock="2",
+        resblock_kernel_sizes=rks,
+        resblock_dilation_sizes=rds,
+    )
+    torch.manual_seed(23)
+    net = oracle.SynthesizerTrn(
+        N_VOCAB,
+        inter_channels=INTER,
+        hidden=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        initial_channel=INITIAL,
+        rates=RATES,
+        up_kernels=UPK,
+        resblock="2",
+        res_kernels=rks,
+        res_dilations=rds,
+    )
+    net.eval()
+
+    _install_onnx_stub()
+    path = tmp_path / "generator.onnx"
+    torch.onnx.export(
+        _ExportWrapper(net),
+        (
+            torch.tensor(
+                np.random.RandomState(8).randint(1, N_VOCAB, (1, T_TEXT))
+            ),
+            torch.tensor([T_TEXT]),
+            torch.zeros(1, 2, T_TEXT),
+            torch.zeros(1, INTER, MAX_FRAMES),
+        ),
+        str(path),
+        input_names=[
+            "input", "input_lengths", "dur_noise", "prior_noise"
+        ],
+        output_names=["output", "y_lengths", "w_ceil"],
+        do_constant_folding=True,
+        opset_version=17,
+        dynamo=False,
+    )
+
+    params = onnx_to_pytree(path, model_config=config)
+    assert "convs" in params["dec"]["resblocks"]["0"]
+    model = VitsModel(config, decoder_dtype=jnp.float32)
+
+    ids = np.random.RandomState(10).randint(1, N_VOCAB, (1, T_TEXT))
+    lengths = np.array([T_TEXT])
+    with torch.no_grad():
+        audio_t, _ylen, w_t = net.infer(
+            torch.tensor(ids),
+            torch.tensor(lengths),
+            noise_scale=0.0,
+            length_scale=1.0,
+            noise_w=0.0,
+        )
+    rng = jax.random.PRNGKey(0)
+    durs, totals = model.infer_durations(
+        params, jnp.array(ids), jnp.array(lengths), rng,
+        jnp.float32(1.0), jnp.float32(0.0),
+    )
+    audio_j, alen_j = model.decode_frames(
+        params, jnp.array(ids), jnp.array(lengths), durs,
+        int(np.asarray(totals).max()), rng, jnp.float32(0.0),
+    )
+    n = int(alen_j[0])
+    got = np.asarray(audio_j)[0, :n]
+    ref = audio_t.numpy()[0][:n]
+    corr = np.corrcoef(got, ref)[0, 1]
+    assert corr > 0.999, f"waveform correlation {corr}"
+    np.testing.assert_allclose(got, ref, atol=5e-5)

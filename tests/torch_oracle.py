@@ -572,6 +572,7 @@ class HiFiGAN(nn.Module):
         res_kernels=(3, 7, 11),
         res_dilations=((1, 3, 5),) * 3,
         gin_channels=0,
+        resblock="1",
     ):
         super().__init__()
         wn = nn.utils.parametrizations.weight_norm
@@ -592,7 +593,8 @@ class HiFiGAN(nn.Module):
             )
             ch //= 2
             for rk, rd in zip(res_kernels, res_dilations):
-                self.resblocks.append(ResBlock1(ch, rk, rd))
+                block = ResBlock1 if resblock == "1" else ResBlock2
+                self.resblocks.append(block(ch, rk, rd))
         for m in self.ups:
             nn.init.normal_(m.parametrizations.weight.original1, 0.0, 0.01)
         self.conv_post = nn.Conv1d(ch, 1, 7, padding=3, bias=False)
@@ -666,6 +668,9 @@ class SynthesizerTrn(nn.Module):
         up_kernels=(16, 16, 4, 4),
         n_speakers=1,
         gin_channels=0,
+        resblock="1",
+        res_kernels=(3, 7, 11),
+        res_dilations=((1, 3, 5),) * 3,
     ):
         super().__init__()
         self.enc_p = TextEncoder(
@@ -683,7 +688,10 @@ class SynthesizerTrn(nn.Module):
             initial_channel,
             rates,
             up_kernels,
+            res_kernels=res_kernels,
+            res_dilations=res_dilations,
             gin_channels=gin_channels,
+            resblock=resblock,
         )
         if n_speakers > 1:
             self.emb_g = nn.Embedding(n_speakers, gin_channels)

@@ -273,20 +273,31 @@ def expected_execution_order(model_config) -> typing.List[str]:
         ]
     order.append("enc_p.proj")
 
-    # stochastic duration predictor, reverse pass
-    order.append("dp.pre")
-    if ms:
-        order.append("dp.cond")
-    order += _dds_order("dp.convs")
-    order.append("dp.proj")
-    conv_flows = [1 + 2 * k for k in range(_N_DP_FLOWS)]
-    for f in list(reversed(conv_flows))[:-1]:  # first ConvFlow is dead
-        order += (
-            [f"dp.flows.{f}.pre"]
-            + _dds_order(f"dp.flows.{f}.convs")
-            + [f"dp.flows.{f}.proj"]
-        )
-    order.append("dp.flows.0")  # ElementwiseAffine
+    if not getattr(cfg, "use_sdp", True):
+        # deterministic duration predictor (use_sdp=False voices):
+        # optional cond, then conv-norm x2 + projection
+        if ms:
+            order.append("dp.cond")
+        order += [
+            "dp.conv_1", "dp.norm_1",
+            "dp.conv_2", "dp.norm_2",
+            "dp.proj",
+        ]
+    else:
+        # stochastic duration predictor, reverse pass
+        order.append("dp.pre")
+        if ms:
+            order.append("dp.cond")
+        order += _dds_order("dp.convs")
+        order.append("dp.proj")
+        conv_flows = [1 + 2 * k for k in range(_N_DP_FLOWS)]
+        for f in list(reversed(conv_flows))[:-1]:  # first ConvFlow dead
+            order += (
+                [f"dp.flows.{f}.pre"]
+                + _dds_order(f"dp.flows.{f}.convs")
+                + [f"dp.flows.{f}.proj"]
+            )
+        order.append("dp.flows.0")  # ElementwiseAffine
 
     # residual coupling flow, reverse order
     for f in reversed(range(0, 2 * _N_COUPLING_FLOWS, 2)):

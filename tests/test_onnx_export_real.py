@@ -561,3 +561,95 @@ def test_resblock2_real_export_matches_oracle(tmp_path):
     corr = np.corrcoef(got, ref)[0, 1]
     assert corr > 0.999, f"waveform correlation {corr}"
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_use_sdp_false_real_export_matches_oracle(tmp_path):
+    """use_sdp=false voices through the real-export chain: the
+    deterministic duration predictor's conv/norm stack must be
+    recovered from anonymized initializers."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimic3_tpu.models.vits import VitsModel
+
+    config = ModelConfig(
+        num_symbols=N_VOCAB,
+        inter_channels=INTER,
+        hidden_channels=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        upsample_initial_channel=INITIAL,
+        upsample_rates=RATES,
+        upsample_kernel_sizes=UPK,
+        use_sdp=False,
+    )
+    torch.manual_seed(29)
+    net = oracle.SynthesizerTrn(
+        N_VOCAB,
+        inter_channels=INTER,
+        hidden=HID,
+        filter_channels=FILT,
+        n_heads=HEADS,
+        n_layers=LAYERS,
+        initial_channel=INITIAL,
+        rates=RATES,
+        up_kernels=UPK,
+        use_sdp=False,
+    )
+    net.eval()
+
+    _install_onnx_stub()
+    path = tmp_path / "generator.onnx"
+    torch.onnx.export(
+        _ExportWrapper(net),
+        (
+            torch.tensor(
+                np.random.RandomState(12).randint(1, N_VOCAB, (1, T_TEXT))
+            ),
+            torch.tensor([T_TEXT]),
+            torch.zeros(1, 2, T_TEXT),
+            torch.zeros(1, INTER, MAX_FRAMES),
+        ),
+        str(path),
+        input_names=[
+            "input", "input_lengths", "dur_noise", "prior_noise"
+        ],
+        output_names=["output", "y_lengths", "w_ceil"],
+        do_constant_folding=True,
+        opset_version=17,
+        dynamo=False,
+    )
+
+    params = onnx_to_pytree(path, model_config=config)
+    assert "conv_1" in params["dp"], sorted(params["dp"])
+    model = VitsModel(config, decoder_dtype=jnp.float32)
+
+    ids = np.random.RandomState(14).randint(1, N_VOCAB, (1, T_TEXT))
+    lengths = np.array([T_TEXT])
+    with torch.no_grad():
+        audio_t, _ylen, w_t = net.infer(
+            torch.tensor(ids),
+            torch.tensor(lengths),
+            noise_scale=0.0,
+            length_scale=1.0,
+            noise_w=0.0,
+        )
+    rng = jax.random.PRNGKey(0)
+    durs, totals = model.infer_durations(
+        params, jnp.array(ids), jnp.array(lengths), rng,
+        jnp.float32(1.0), jnp.float32(0.0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(durs), w_t.numpy()[:, 0, :].astype(np.int32)
+    )
+    audio_j, alen_j = model.decode_frames(
+        params, jnp.array(ids), jnp.array(lengths), durs,
+        int(np.asarray(totals).max()), rng, jnp.float32(0.0),
+    )
+    n = int(alen_j[0])
+    got = np.asarray(audio_j)[0, :n]
+    ref = audio_t.numpy()[0][:n]
+    corr = np.corrcoef(got, ref)[0, 1]
+    assert corr > 0.999, f"waveform correlation {corr}"
+    np.testing.assert_allclose(got, ref, atol=5e-5)

@@ -671,15 +671,22 @@ class SynthesizerTrn(nn.Module):
         resblock="1",
         res_kernels=(3, 7, 11),
         res_dilations=((1, 3, 5),) * 3,
+        use_sdp=True,
     ):
         super().__init__()
+        self.use_sdp = use_sdp
         self.enc_p = TextEncoder(
             n_vocab, inter_channels, hidden, filter_channels,
             n_heads, n_layers, kernel,
         )
-        self.dp = StochasticDurationPredictor(
-            hidden, 192, 3, gin_channels=gin_channels
-        )
+        if use_sdp:
+            self.dp = StochasticDurationPredictor(
+                hidden, 192, 3, gin_channels=gin_channels
+            )
+        else:
+            self.dp = DurationPredictor(
+                hidden, 256, 3, gin_channels=gin_channels
+            )
         self.flow = ResidualCouplingBlock(
             inter_channels, hidden, 5, 4, gin_channels=gin_channels
         )
@@ -712,9 +719,12 @@ class SynthesizerTrn(nn.Module):
         if sid is not None:
             g = self.emb_g(sid).unsqueeze(-1)  # [B, gin, 1]
         x, m_p, logs_p, x_mask = self.enc_p(ids, lengths)
-        logw = self.dp.reverse(
-            x, x_mask, g=g, noise_scale=noise_w, noise=dur_noise
-        )
+        if self.use_sdp:
+            logw = self.dp.reverse(
+                x, x_mask, g=g, noise_scale=noise_w, noise=dur_noise
+            )
+        else:
+            logw = self.dp(x, x_mask, g=g)
         w = torch.exp(logw) * x_mask * length_scale
         w_ceil = torch.ceil(w)
         y_lengths = torch.clamp_min(torch.sum(w_ceil, [1, 2]), 1).long()

@@ -163,3 +163,46 @@ def test_testvoice_cli(tmp_path):
     assert result.returncode == 0, result.stderr.decode()[-2000:]
     out = json.loads(result.stdout)
     assert (Path(out["voice_dir"]) / "generator.npz").is_file()
+
+
+def test_csv_voice_and_blank_line_modes(voices_root, tmp_path):
+    """--csv-voice (id|voice|text rows, reference __main__.py:348-423)
+    and --process-on-blank-line (book-style paragraphs)."""
+    out_dir = tmp_path / "csvv"
+    result = run_cli(
+        "--voices-dir",
+        str(voices_root),
+        "--no-download",
+        "--deterministic",
+        "--csv-voice",
+        "--output-dir",
+        str(out_dir),
+        input_text=(
+            "a1|en_US/test_low|hello there\n"
+            "a2|en_US/test_low#0|second row\n"
+        ),
+    )
+    assert result.returncode == 0, result.stderr.decode()[-2000:]
+    assert (out_dir / "a1.wav").is_file()
+    assert (out_dir / "a2.wav").is_file()
+
+    # paragraphs: two blank-line-separated blocks -> two outputs
+    out_dir2 = tmp_path / "para"
+    result = run_cli(
+        "--voice",
+        "en_US/test_low",
+        "--voices-dir",
+        str(voices_root),
+        "--no-download",
+        "--deterministic",
+        "--process-on-blank-line",
+        "--output-dir",
+        str(out_dir2),
+        "--output-naming",
+        "time",
+        input_text="first paragraph line one.\nline two.\n\n"
+        "second paragraph.\n",
+    )
+    assert result.returncode == 0, result.stderr.decode()[-2000:]
+    wavs = list(out_dir2.glob("*.wav"))
+    assert len(wavs) == 2, [w.name for w in wavs]

@@ -385,3 +385,65 @@ def test_no_speaker_leak_between_requests(tmp_path):
         assert default_again == default_first  # no leak from #2
     finally:
         app.shutdown()
+
+
+def test_scheduler_stress_concurrent_settings_and_shutdown(tmp_path):
+    """Torture the BatchScheduler: many threads, mixed scale settings
+    (different batch keys), every future must resolve; shutdown with
+    work in flight must reject new submissions cleanly."""
+    import random
+    import threading
+
+    from mimic3_tpu.config import TrainingConfig
+    from mimic3_tpu.models.vits import init_vits_params
+    from mimic3_tpu.runtime.session import VitsSession
+    from mimic3_tpu.runtime.testvoice import create_test_voice
+    from mimic3_tpu.server.scheduler import BatchScheduler
+
+    voice_dir = create_test_voice(
+        tmp_path / "v", full_size=False, seed=33
+    )
+    config = TrainingConfig.load_path(voice_dir / "config.json")
+    import jax
+
+    params = init_vits_params(jax.random.PRNGKey(0), config.model)
+    session = VitsSession(config, params, deterministic=True)
+    sched = BatchScheduler(max_batch=4, max_delay_ms=2.0)
+    session.batcher = sched
+
+    rng = random.Random(7)
+    errors = []
+    results = []
+    lock = threading.Lock()
+
+    def worker(i):
+        try:
+            ids = [1 + (i + j) % 20 for j in range(3 + i % 5)]
+            audio = session.synthesize_ids(
+                ids,
+                length_scale=rng.choice([1.0, 1.0, 1.0, 1.3]),
+                noise_scale=0.0,
+                noise_w=0.0,
+            )
+            with lock:
+                results.append(len(audio))
+        except Exception as err:  # noqa: BLE001
+            with lock:
+                errors.append(err)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(24)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors[:3]
+    assert len(results) == 24
+    assert all(n > 0 for n in results)
+    stats = sched.stats
+    assert stats.items == 24
+
+    sched.shutdown()
+    with pytest.raises(RuntimeError):
+        sched.submit(session, [1, 2, 3])

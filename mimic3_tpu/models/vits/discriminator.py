@@ -17,7 +17,13 @@ import typing
 import jax
 import jax.numpy as jnp
 
-from .layers import LRELU_SLOPE, Params, init_conv1d, leaky_relu
+from .layers import (
+    LRELU_SLOPE,
+    Params,
+    conv1d,
+    init_conv1d,
+    leaky_relu,
+)
 
 PERIODS = (2, 3, 5, 7, 11)
 
@@ -27,6 +33,18 @@ PERIODS = (2, 3, 5, 7, 11)
 # ---------------------------------------------------------------------------
 
 
+def _conv2d_weight(p: Params) -> jax.Array:
+    """Resolve a 2-D conv weight, folding weight norm when present
+    (HWIO layout: norm over all axes but the output channel)."""
+    if "weight" in p:
+        return p["weight"]
+    v = p["weight_v"]
+    norm = jnp.sqrt(
+        jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True)
+    )
+    return p["weight_g"] * v / norm
+
+
 def _conv2d(
     x: jax.Array,
     p: Params,
@@ -34,7 +52,7 @@ def _conv2d(
     padding: typing.Tuple[int, int] = (0, 0),
 ) -> jax.Array:
     """x: [B, H, W, C]; weight: [kh, kw, Cin, Cout]."""
-    w = p["weight"].astype(x.dtype)
+    w = _conv2d_weight(p).astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
         w,
@@ -54,18 +72,9 @@ def _conv1d_strided(
     padding: int = 0,
     groups: int = 1,
 ) -> jax.Array:
-    w = p["weight"].astype(x.dtype)
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )
-    if "bias" in p:
-        out = out + p["bias"].astype(out.dtype)
-    return out
+    # layers.conv1d handles stride/padding/groups AND weight-norm
+    # resolution (conv_weight) — no second conv path to maintain
+    return conv1d(x, p, stride=stride, padding=padding, groups=groups)
 
 
 def _init_conv2d(
@@ -76,10 +85,17 @@ def _init_conv2d(
     k1, k2 = jax.random.split(key)
     fan_in = cin * kh * kw
     bound = 1.0 / math.sqrt(fan_in)
+    weight = jax.random.uniform(
+        k1, (kh, kw, cin, cout), jnp.float32, -bound, bound
+    )
+    # weight-normalized like upstream's norm_f(Conv2d) — the GAN
+    # optimization geometry differs without it
+    norm = jnp.sqrt(
+        jnp.sum(jnp.square(weight), axis=(0, 1, 2), keepdims=True)
+    )
     return {
-        "weight": jax.random.uniform(
-            k1, (kh, kw, cin, cout), jnp.float32, -bound, bound
-        ),
+        "weight_v": weight,
+        "weight_g": norm,
         "bias": jax.random.uniform(
             k2, (cout,), jnp.float32, -bound, bound
         ),
@@ -156,12 +172,14 @@ def init_scale_discriminator(key: jax.Array) -> Params:
     cin = 1
     for i, (cout, k, _s, groups, _p) in enumerate(_S_SPECS):
         convs[str(i)] = init_conv1d(
-            keys[i], cin, cout, k, groups=groups
+            keys[i], cin, cout, k, groups=groups, weight_norm=True
         )
         cin = cout
     return {
         "convs": convs,
-        "conv_post": init_conv1d(keys[-1], 1024, 1, 3),
+        "conv_post": init_conv1d(
+            keys[-1], 1024, 1, 3, weight_norm=True
+        ),
     }
 
 

@@ -216,13 +216,17 @@ def generator_forward(
     neg_1 = jnp.sum(
         -0.5 * math.log(2 * math.pi) - logs_p, axis=-1
     )  # [B, T_text]
+    # HIGHEST: keep full f32 mantissas on the MXU — these scores feed
+    # the (discrete) MAS alignment, where bf16 truncation adds noise
     neg_2 = jnp.einsum(
         "btc,bjc->bjt", -0.5 * jnp.square(z_p), s_p_sq_r,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     neg_3 = jnp.einsum(
         "btc,bjc->bjt", z_p, m_p * s_p_sq_r,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     neg_4 = jnp.sum(-0.5 * jnp.square(m_p) * s_p_sq_r, axis=-1)
     neg_x_ent = (
@@ -250,8 +254,14 @@ def generator_forward(
         )
 
     # expand prior to frames through the alignment
-    m_p_f = jnp.einsum("bjt,bjc->btc", attn, m_p)
-    logs_p_f = jnp.einsum("bjt,bjc->btc", attn, logs_p)
+    m_p_f = jnp.einsum(
+        "bjt,bjc->btc", attn, m_p,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    logs_p_f = jnp.einsum(
+        "bjt,bjc->btc", attn, logs_p,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     loss_kl = kl_loss(z_p, logs_q, m_p_f, logs_p_f, y_mask)
 

@@ -162,7 +162,10 @@ def batches(
             if len(idx) < batch_size:
                 if drop_last:
                     continue
-                idx = idx + idx[: batch_size - len(idx)]
+                # repeat until FULL (one slice underfills when the
+                # remainder is < batch_size/2, yielding ragged arrays)
+                reps = -(-batch_size // len(idx))
+                idx = (idx * reps)[:batch_size]
 
             items = [utterances[i] for i in idx]
             audios = []
@@ -172,25 +175,33 @@ def batches(
                 )
                 frames = len(audio) // hop
                 if frames < segment_frames:
-                    # pad short clips up to one segment
+                    # pad short clips up to one segment so slicing has
+                    # a full window; the TRUE length is kept separately
+                    # so masks/losses don't treat the padding as speech
                     audio = np.pad(
                         audio, (0, (segment_frames - frames) * hop)
                     )
-                audios.append(audio)
+                audios.append((audio, max(frames, 1)))
 
             text_lengths = np.array(
                 [len(i.phoneme_ids) for i in items], np.int32
             )
+            # true (pre-padding) frame counts: KL/MAS/posterior masks
+            # must not count appended silence as valid speech
             spec_lengths = np.array(
-                [len(a) // hop for a in audios], np.int32
+                [frames for _a, frames in audios], np.int32
             )
             # training is offline: growing past the configured ladder
             # (one extra compile) beats truncating a long clip
             t_bucket = pick_bucket(
                 int(text_lengths.max()), text_buckets, grow=True
             )
+            # at least one full segment so slicing never leaves the
+            # padded audio (true lengths can be < segment_frames)
             f_bucket = pick_bucket(
-                int(spec_lengths.max()), frame_buckets, grow=True
+                max(int(spec_lengths.max()), segment_frames),
+                frame_buckets,
+                grow=True,
             )
 
             ids = np.zeros((batch_size, t_bucket), np.int32)
@@ -199,9 +210,9 @@ def batches(
             )
             for row, item in enumerate(items):
                 ids[row, : len(item.phoneme_ids)] = item.phoneme_ids
-                n = min(len(audios[row]), f_bucket * hop)
-                audio_arr[row, :n] = audios[row][:n]
-            spec_lengths = np.minimum(spec_lengths, f_bucket)
+                a = audios[row][0]
+                n = min(len(a), f_bucket * hop)
+                audio_arr[row, :n] = a[:n]
 
             yield TrainBatch(
                 phoneme_ids=jnp.asarray(ids),

@@ -117,3 +117,34 @@ def test_train_cli_end_to_end(dataset_dir, tmp_path):
     ids = voice.phonemes_to_ids([list("ok")])
     audio = voice.ids_to_audio(ids, noise_scale=0, noise_w=0)
     assert len(audio) > 0
+
+
+def test_partial_batch_topped_up_to_full(dataset_dir):
+    """3 utterances with batch_size 8 (remainder < batch/2): the last
+    batch must repeat items until FULL, not yield ragged arrays."""
+    root, voice_dir, audio_dir = dataset_dir
+    frontend = make_frontend(voice_dir)
+    utts = load_metadata(root / "metadata.csv", audio_dir, frontend)
+    config = TrainingConfig.load_path(voice_dir / "config.json")
+    it = batches(
+        utts, config, batch_size=8, text_buckets=(32,),
+        frame_buckets=(64,),
+    )
+    batch = next(it)
+    assert batch.phoneme_ids.shape[0] == 8
+    assert batch.text_lengths.shape[0] == 8
+    assert batch.audio.shape[0] == 8
+    assert batch.spec_lengths.shape[0] == 8
+    # true lengths: padded silence is NOT counted as valid frames
+    import numpy as np
+
+    hop = config.audio.hop_length
+    seg_frames = config.segment_size // hop
+    raw_frames = {
+        len(read_wav(u.audio_path, config.audio.sample_rate)) // hop
+        for u in utts
+    }
+    for n in np.asarray(batch.spec_lengths):
+        assert int(n) in raw_frames
+    # audio buffer still covers at least one segment
+    assert batch.audio.shape[1] >= seg_frames * hop

@@ -412,6 +412,67 @@ class EspeakTpuVoice(TpuVoice):
             self.config.phonemes.major_break,
         )
 
+    def word_to_phonemes(
+        self,
+        word_text: str,
+        word_role: typing.Optional[str] = None,
+        text_language: typing.Optional[str] = None,
+    ) -> typing.List[PHONEME]:
+        """SSML ``<w role>`` via espeak's own SSML mode
+        (reference: mimic3_tts/voice.py:535-561)."""
+        from xml.sax.saxutils import escape
+
+        from ..text.espeak import language_to_espeak_voice
+
+        language = (
+            text_language or self.config.text_language or DEFAULT_LANGUAGE
+        )
+        role = escape(word_role) if word_role else ""
+        phoneme_str = self._phonemizer.phonemize(
+            f'<w role="{role}">{escape(word_text)}</w>',
+            voice=language_to_espeak_voice(language),
+            keep_clause_breakers=True,
+            phoneme_separator="",
+            punctuation_separator="",
+            ssml=True,
+        )
+        return list(IPA.graphemes(phoneme_str))
+
+    def say_as_to_phonemes(
+        self,
+        text: str,
+        interpret_as: str,
+        say_format: typing.Optional[str] = None,
+        text_language: typing.Optional[str] = None,
+    ) -> WORD_PHONEMES:
+        """SSML ``<say-as>`` via espeak's own SSML mode
+        (reference: mimic3_tts/voice.py:563-595)."""
+        from xml.sax.saxutils import escape
+
+        from ..text.espeak import language_to_espeak_voice
+
+        language = (
+            text_language or self.config.text_language or DEFAULT_LANGUAGE
+        )
+        word_separator = self.config.phonemes.word_separator
+        fmt = (
+            f'format="{escape(say_format)}"' if say_format else ""
+        )
+        phoneme_str = self._phonemizer.phonemize(
+            f'<say-as interpret-as="{escape(interpret_as)}" {fmt}>'
+            f"{escape(text)}</say-as>",
+            voice=language_to_espeak_voice(language),
+            keep_clause_breakers=True,
+            phoneme_separator="",
+            punctuation_separator="",
+            word_separator=word_separator,
+            ssml=True,
+        )
+        return [
+            list(IPA.graphemes(wp))
+            for wp in phoneme_str.split(word_separator)
+        ]
+
 
 class HazmEspeakTpuVoice(EspeakTpuVoice):
     """Persian espeak voice with hazm text normalization/POS tagging

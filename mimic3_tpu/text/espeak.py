@@ -16,15 +16,24 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import re
 import threading
 import typing
 
-_CLAUSE_BREAKERS = frozenset(",.;:!?¡¿—…")
+# exactly the reference phonemizer's set — a superset would append
+# pseudo-phonemes the voices were never trained with
+_CLAUSE_BREAKERS = frozenset(",.;:!?")
+
+# espeak language-switch markers like "(en)"/"(fr)" that leak into the
+# phoneme stream when the engine changes language mid-text; stripped by
+# default like the reference phonemizer
+_LANG_SWITCH_RE = re.compile(r"\([^)]*\)")
 
 # espeak-ng constants
 _AUDIO_OUTPUT_SYNCHRONOUS = 0x02
 _ESPEAKNG_PHONEMES_IPA = 0x02
 _ESPEAK_CHARS_AUTO = 0
+_ESPEAK_SSML = 0x10
 
 _LIB_NAMES = (
     "espeak-ng",
@@ -112,9 +121,23 @@ class EspeakPhonemizer:
         word_separator: str = " ",
         punctuation_separator: str = "",
         ssml: bool = False,
+        keep_language_flags: bool = False,
     ) -> str:
-        """Phonemize ``text``; words joined by ``word_separator``."""
-        del ssml  # SSML pre-processing happens upstream in this framework
+        """Phonemize ``text``; words joined by ``word_separator``.
+
+        ``ssml=True`` passes espeak's SSML text mode (the reference
+        voice layer uses it for ``<w role>`` / ``<say-as>`` wrapping).
+        """
+        # clause breakers are collected from the INPUT text in order
+        # and paired with clause lines by index — the reference
+        # phonemizer's exact (quirky) behavior: a '.' inside "3.50"
+        # consumes a slot, so replicating it is what keeps phoneme ids
+        # identical to what the voices were trained with
+        breakers: typing.List[str] = (
+            [c for c in text if c in _CLAUSE_BREAKERS]
+            if (keep_clause_breakers and text)
+            else []
+        )
         cls = type(self)
         with cls._lock:
             self._ensure_init()
@@ -133,47 +156,39 @@ class EspeakPhonemizer:
             # IPA mode; separator codepoint in bits 8+ (0 = none)
             sep_code = ord(phoneme_separator) if phoneme_separator else 0
             mode = _ESPEAKNG_PHONEMES_IPA | (sep_code << 8)
+            textmode = _ESPEAK_CHARS_AUTO | (
+                _ESPEAK_SSML if ssml else 0
+            )
 
-            clauses: typing.List[str] = []
+            lines: typing.List[str] = []
             while text_ptr.contents.value:
-                before = text_ptr.contents.value - base
                 result = lib.espeak_TextToPhonemes(
-                    text_ptr, _ESPEAK_CHARS_AUTO, mode
+                    text_ptr, textmode, mode
                 )
                 after = (
                     (text_ptr.contents.value - base)
                     if text_ptr.contents.value
                     else len(utf8)
                 )
-                clause_phonemes = (
+                decoded = (
                     result.decode("utf-8", errors="replace")
                     if result
                     else ""
-                ).strip()
-
-                breaker = ""
-                if keep_clause_breakers:
-                    segment = utf8[before:after].decode(
-                        "utf-8", errors="replace"
-                    )
-                    for ch in reversed(segment.rstrip()):
-                        if ch in _CLAUSE_BREAKERS:
-                            breaker = ch
-                            break
-                        if not ch.isspace():
-                            break
-                if clause_phonemes:
-                    if breaker:
-                        clause_phonemes = (
-                            clause_phonemes
-                            + punctuation_separator
-                            + breaker
-                        )
-                    clauses.append(clause_phonemes)
+                )
+                for line in decoded.splitlines() or [""]:
+                    if not keep_language_flags:
+                        line = _LANG_SWITCH_RE.sub("", line)
+                    lines.append(line.strip())
                 if after >= len(utf8):
                     break
 
-        joined = " ".join(clauses)
+        # pair the i-th clause line with the i-th collected breaker
+        for i in range(min(len(lines), len(breakers))):
+            if lines[i]:
+                lines[i] = (
+                    lines[i] + punctuation_separator + breakers[i]
+                )
+        joined = " ".join(line for line in lines if line)
         if word_separator != " ":
             joined = joined.replace(" ", word_separator)
         return joined

@@ -44,7 +44,10 @@ class IPA:
 
     @staticmethod
     def is_tone(codepoint: str) -> bool:
-        return codepoint in IPA.TONES or codepoint.isdigit()
+        # decimal digits (Nd) only, like the reference's \d regex —
+        # isdigit() would also catch superscripts like '²', which are
+        # accents, not tones, and would shift every later phoneme id
+        return codepoint in IPA.TONES or codepoint.isdecimal()
 
     @staticmethod
     def graphemes(codepoints: str) -> typing.List[str]:

@@ -261,7 +261,10 @@ def load_phoneme_ids(
     phoneme_to_id: typing.Dict[PHONEME, PHONEME_ID] = {}
     for line in phonemes_file:
         line = line.rstrip("\r\n")
-        if (not line) or line.startswith("#"):
+        if (not line) or line.startswith("#") or " " not in line:
+            # skip blanks/comments AND malformed lines (e.g. a
+            # truncated trailing id) like the reference loader does,
+            # instead of aborting the whole voice load
             continue
         id_str, phoneme = line.split(" ", maxsplit=1)
         phoneme_to_id[phoneme] = int(id_str)

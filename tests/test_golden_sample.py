@@ -59,3 +59,43 @@ def test_golden_sample_regression(tmp_path):
     )
     assert percent <= 0.1, f"{percent:.3f}% samples differ"
     assert corr >= 0.999, f"correlation {corr:.6f}"
+
+
+def test_samples_match_script(tmp_path):
+    """The conformance comparator itself: exit 0 on matching WAVs,
+    1 on diverging ones (it gates releases — it must not lie)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    def write(path, samples):
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(22050)
+            w.writeframes(samples.astype(np.int16).tobytes())
+
+    rng = np.random.RandomState(0)
+    base = (rng.randn(22050) * 8000).astype(np.int16)
+    write(tmp_path / "a.wav", base)
+    # identical + tiny jitter on <0.1% of samples: must PASS
+    close = base.copy()
+    close[::2000] += 1
+    write(tmp_path / "b.wav", close)
+    # uncorrelated noise: must FAIL
+    write(
+        tmp_path / "c.wav", (rng.randn(22050) * 8000).astype(np.int16)
+    )
+
+    script = Path(__file__).parent.parent / "scripts" / "samples_match.py"
+
+    def run(x, y):
+        return subprocess.run(
+            [sys.executable, str(script), str(x), str(y)],
+            capture_output=True,
+        ).returncode
+
+    assert run(tmp_path / "a.wav", tmp_path / "a.wav") == 0
+    assert run(tmp_path / "a.wav", tmp_path / "b.wav") == 0
+    assert run(tmp_path / "a.wav", tmp_path / "c.wav") == 1

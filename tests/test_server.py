@@ -447,3 +447,45 @@ def test_scheduler_stress_concurrent_settings_and_shutdown(tmp_path):
     sched.shutdown()
     with pytest.raises(RuntimeError):
         sched.submit(session, [1, 2, 3])
+
+
+def test_keepalive_and_head(server):
+    """Connection-level HTTP semantics: two requests over one
+    keep-alive connection, and HEAD returning headers without a body."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", PORT), timeout=30) as s:
+        s.sendall(
+            b"GET /api/healthcheck HTTP/1.1\r\nHost: t\r\n\r\n"
+        )
+        first = b""
+        while b"OK" not in first:
+            chunk = s.recv(4096)
+            assert chunk, "connection closed before first response"
+            first += chunk
+        assert first.startswith(b"HTTP/1.1 200")
+        # second request on the SAME connection
+        s.sendall(
+            b"GET /api/voices HTTP/1.1\r\nHost: t\r\n\r\n"
+        )
+        second = b""
+        while b"test_low" not in second:
+            chunk = s.recv(65536)
+            assert chunk, "keep-alive connection was closed"
+            second += chunk
+        assert b"HTTP/1.1 200" in second
+
+    with socket.create_connection(("127.0.0.1", PORT), timeout=30) as s:
+        s.sendall(
+            b"HEAD /api/healthcheck HTTP/1.1\r\nHost: t\r\n"
+            b"Connection: close\r\n\r\n"
+        )
+        data = b""
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        head, _, body = data.partition(b"\r\n\r\n")
+        assert head.startswith(b"HTTP/1.1 200")
+        assert body == b"", body  # HEAD: no body

@@ -281,6 +281,8 @@ def main() -> int:
     decoder_tag = (
         "" if args.decoder == "hifigan" else f", {args.decoder} decoder"
     )
+    if args.multispeaker:
+        decoder_tag += ", multispeaker vctk dims"
     result = {
         "metric": "batched synthesis throughput (VITS *_low, "
         f"batch={args.batch}, {args.phonemes} phonemes{decoder_tag})",

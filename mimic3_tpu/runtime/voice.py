@@ -427,7 +427,9 @@ class EspeakTpuVoice(TpuVoice):
         language = (
             text_language or self.config.text_language or DEFAULT_LANGUAGE
         )
-        role = escape(word_role) if word_role else ""
+        role = (
+            escape(word_role, {'"': "&quot;"}) if word_role else ""
+        )
         phoneme_str = self._phonemizer.phonemize(
             f'<w role="{role}">{escape(word_text)}</w>',
             voice=language_to_espeak_voice(language),
@@ -456,10 +458,13 @@ class EspeakTpuVoice(TpuVoice):
         )
         word_separator = self.config.phonemes.word_separator
         fmt = (
-            f'format="{escape(say_format)}"' if say_format else ""
+            f'format="{escape(say_format, {chr(34): "&quot;"})}"'
+            if say_format
+            else ""
         )
         phoneme_str = self._phonemizer.phonemize(
-            f'<say-as interpret-as="{escape(interpret_as)}" {fmt}>'
+            f'<say-as interpret-as='
+            f'"{escape(interpret_as, {chr(34): "&quot;"})}" {fmt}>'
             f"{escape(text)}</say-as>",
             voice=language_to_espeak_voice(language),
             keep_clause_breakers=True,
@@ -591,7 +596,11 @@ class GruutTpuVoice(TpuVoice):
         language = (
             text_language or self.config.text_language or DEFAULT_LANGUAGE
         )
-        role_attr = f' role="{escape(word_role)}"' if word_role else ""
+        role_attr = (
+            f' role="{escape(word_role, {chr(34): "&quot;"})}"'
+            if word_role
+            else ""
+        )
         ssml = f"<w{role_attr}>{escape(word_text)}</w>"
         sentence = next(
             iter(self._gruut.sentences(ssml, ssml=True, lang=language))
@@ -611,9 +620,14 @@ class GruutTpuVoice(TpuVoice):
         language = (
             text_language or self.config.text_language or DEFAULT_LANGUAGE
         )
-        fmt = f' format="{escape(say_format)}"' if say_format else ""
+        fmt = (
+            f' format="{escape(say_format, {chr(34): "&quot;"})}"'
+            if say_format
+            else ""
+        )
         ssml = (
-            f'<say-as interpret-as="{escape(interpret_as)}"{fmt}>'
+            f"<say-as interpret-as="
+            f'"{escape(interpret_as, {chr(34): "&quot;"})}"{fmt}>'
             f"{escape(text)}</say-as>"
         )
         out: WORD_PHONEMES = []

@@ -182,12 +182,16 @@ class EspeakPhonemizer:
                 if after >= len(utf8):
                     break
 
-        # pair the i-th clause line with the i-th collected breaker
+        # pair the i-th clause line with the i-th collected breaker;
+        # an empty clause (punctuation-only input) keeps its breaker
+        # as the whole line so the pseudo-phoneme is never dropped
         for i in range(min(len(lines), len(breakers))):
             if lines[i]:
                 lines[i] = (
                     lines[i] + punctuation_separator + breakers[i]
                 )
+            else:
+                lines[i] = breakers[i]
         joined = " ".join(line for line in lines if line)
         if word_separator != " ":
             joined = joined.replace(" ", word_separator)

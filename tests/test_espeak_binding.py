@@ -121,6 +121,21 @@ def test_breaker_pairing_is_text_order(fake_lib):
     assert out == 'he said "stop! " now'
 
 
+def test_punctuation_only_clause_keeps_breaker(fake_lib):
+    """A clause with no words (e.g. a lone '!') must still contribute
+    its breaker pseudo-phoneme: the empty line becomes just the breaker
+    instead of silently consuming the positional slot."""
+    p = EspeakPhonemizer()
+    out = p.phonemize(
+        "Hello! ! Bye.",
+        voice="en-us",
+        keep_clause_breakers=True,
+        word_separator=" ",
+        punctuation_separator="",
+    )
+    assert out == "hello! ! bye."
+
+
 def test_language_switch_flags_stripped(fake_lib):
     p = EspeakPhonemizer()
     out = p.phonemize(

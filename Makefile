@@ -2,7 +2,20 @@
 
 PYTHON ?= python3
 
-.PHONY: install test test-fast check native sample bench dist docker clean
+.PHONY: install test test-fast check native sample bench dist docker \
+	ci clean
+
+# Full CI gate: the one-command analog of the reference's Jenkinsfile
+# pipeline (reference: Jenkinsfile:48-193 Clean/Dist/Docker stages +
+# check.sh + Dockerfile:99-105 golden-sample gate). Chains static
+# checks -> fast test suite -> deterministic golden sample -> wheel;
+# the docker stage runs only when a docker daemon is present (this CI
+# box has none). See also .github/workflows/ci.yml for the hosted form.
+ci: check test-fast sample dist
+	@command -v docker >/dev/null 2>&1 && docker info >/dev/null 2>&1 \
+		&& $(MAKE) docker \
+		|| echo "ci: docker unavailable, skipping image build"
+	@echo "ci: all stages passed"
 
 install:
 	$(PYTHON) -m pip install -e . --no-build-isolation

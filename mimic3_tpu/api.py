@@ -12,7 +12,7 @@ import io
 import typing
 import wave
 from abc import ABC, abstractmethod
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # ---------------------------------------------------------------------------
 # Tokens

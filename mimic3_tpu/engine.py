@@ -17,7 +17,6 @@ from __future__ import annotations
 import itertools
 import logging
 import os
-import re
 import typing
 from copy import deepcopy
 from dataclasses import dataclass, field

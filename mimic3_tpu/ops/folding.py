@@ -24,7 +24,6 @@ summation order.
 
 from __future__ import annotations
 
-import functools
 import typing
 
 import jax

@@ -22,7 +22,6 @@ import typing
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
-import numpy as np
 
 _LOGGER = logging.getLogger(__name__)
 

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Static checks: byte-compile + import every module.
+"""Static checks: byte-compile + import every module + AST lint.
 
 The reference gates on black/isort/flake8/pylint/mypy
 (reference: check.sh:34-46); none of those are available in this
 environment, so this performs the checks that need no extra packages:
-syntax (compileall) and import-time errors for every module in the
-package (catches missing imports, bad signatures at def time, etc.).
+syntax (compileall), import-time errors for every module in the
+package (catches missing imports, bad signatures at def time, etc.),
+and scripts/astlint.py's flake8-subset pass (undefined names even in
+un-executed branches, unused imports, duplicate args/dict keys).
 """
 
 import compileall
@@ -18,6 +20,22 @@ REPO = Path(__file__).parent.parent
 
 
 def main() -> int:
+    sys.path.insert(0, str(REPO / "scripts"))
+    import astlint
+
+    lint_rc = astlint.main(
+        [
+            str(REPO / "mimic3_tpu"),
+            str(REPO / "scripts"),
+            str(REPO / "tests"),
+            str(REPO / "bench.py"),
+            str(REPO / "__graft_entry__.py"),
+        ]
+    )
+    if lint_rc:
+        print("astlint FAILED")
+        return 1
+
     ok = compileall.compile_dir(
         str(REPO / "mimic3_tpu"), quiet=1, maxlevels=10
     )

@@ -12,7 +12,6 @@ Usage: nohup python -u scripts/train_tpu_smoke.py > /tmp/train_tpu.log 2>&1 &
 
 import json
 import shutil
-import sys
 import tempfile
 import time
 import wave

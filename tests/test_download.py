@@ -1,7 +1,6 @@
 """Downloader logic tests (no network: local file:// URLs + registry)."""
 
 import hashlib
-from pathlib import Path
 
 import pytest
 

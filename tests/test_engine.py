@@ -153,7 +153,7 @@ def test_text_to_wav_no_audio_yields_empty_wav():
     zero-frame WAV instead of wave.Error from an unparameterized
     Wave_write.close() (raised in __exit__, after the in-function
     handler)."""
-    from mimic3_tpu.api import TextToSpeechSystem, Voice
+    from mimic3_tpu.api import TextToSpeechSystem
 
     class SilentTts(TextToSpeechSystem):
         voice = "x"

@@ -5,7 +5,6 @@ the exact API surface the binding uses, so clause-breaker preservation,
 word separators, and voice selection are tested for real through ctypes.
 """
 
-import ctypes
 import shutil
 import subprocess
 from pathlib import Path

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mimic3_tpu.config import ModelConfig, TrainingConfig
 from mimic3_tpu.models.vits import VitsModel, init_vits_params

@@ -26,7 +26,6 @@ import torch_oracle as oracle
 
 from mimic3_tpu.config import ModelConfig
 from mimic3_tpu.runtime.convert import (
-    flatten_pytree,
     onnx_to_pytree,
     recover_initializer_names,
 )

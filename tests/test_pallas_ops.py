@@ -123,10 +123,7 @@ def test_hifigan_pallas_path_matches_xla():
     """Full generator with use_pallas=True (interpreted) == plain XLA."""
     from mimic3_tpu.config import ModelConfig
     from mimic3_tpu.models.vits.model import _init_hifigan, VitsHyperparams
-    from mimic3_tpu.runtime.convert import (
-        state_dict_to_pytree,
-        flatten_pytree,
-    )
+    from mimic3_tpu.runtime.convert import flatten_pytree
     import mimic3_tpu.ops.resblock as rb
 
     cfg = ModelConfig(

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 
 from mimic3_tpu.config import ModelConfig, TrainingConfig

@@ -102,8 +102,6 @@ def test_multispeaker_voice(tmp_path):
     # Random-init weights barely propagate the speaker embedding (VITS
     # zero-inits the coupling projections; HiFi-GAN weights are N(0,.01)),
     # so amplify emb_g to verify the conditioning path is actually wired.
-    import jax.numpy as jnp
-
     v.session.params["emb_g"]["weight"] = (
         v.session.params["emb_g"]["weight"] * 100.0
     )

@@ -12,7 +12,6 @@ It deliberately avoids sharing any code with the JAX implementation.
 
 import math
 
-import numpy as np
 import torch
 import torch.nn.functional as F
 from torch import nn

@@ -187,6 +187,23 @@ _PARAM_POSITIONS: typing.Dict[str, typing.Dict[int, str]] = {
     "LayerNormalization": {1: "gamma", 2: "beta"},
 }
 
+# At opset < 17 torch decomposes LayerNorm into primitives; gamma/beta
+# then appear as Mul/Add constants whose partner input descends from
+# the normalization's Div (pattern verified stable across opsets 11-15
+# for torchscript exports).  Position-independent: either input slot.
+_NORM_DECOMPOSED_LEAVES: typing.Dict[str, str] = {
+    "Mul": "gamma",
+    "Add": "beta",
+}
+
+
+class ConversionError(RuntimeError):
+    """A live parameter could not be recovered from the ONNX graph.
+
+    Raised (in strict mode) instead of silently substituting random
+    initialization — converted audio would be wrong, not degraded.
+    """
+
 # VITS structural constants (arXiv 2106.06103; reference config.py:113-143
 # exposes no knobs for these)
 _N_COUPLING_FLOWS = 4
@@ -210,17 +227,33 @@ def _torch_shape(
     return tuple(shape)
 
 
+# JAX param init for a tiny config still costs ~25s on a 1-core host
+# (hundreds of op dispatches); conversion needs it twice (shape
+# expectations + dead-param filling), so memoize per config
+_INIT_FLAT_CACHE: typing.Dict[str, typing.Dict[str, np.ndarray]] = {}
+
+
+def _init_flat_cached(model_config) -> typing.Dict[str, np.ndarray]:
+    key = repr(model_config)
+    cached = _INIT_FLAT_CACHE.get(key)
+    if cached is None:
+        import jax
+
+        from ..models.vits import init_vits_params
+
+        cached = flatten_pytree(
+            init_vits_params(jax.random.PRNGKey(0), model_config)
+        )
+        _INIT_FLAT_CACHE.clear()  # keep at most one entry resident
+        _INIT_FLAT_CACHE[key] = cached
+    return cached
+
+
 def expected_params_from_config(
     model_config,
 ) -> typing.Dict[str, typing.Tuple[int, ...]]:
     """Expected {dotted_name: torch_layout_shape}, weight-norm folded."""
-    import jax
-
-    from ..models.vits import init_vits_params
-
-    flat = flatten_pytree(
-        init_vits_params(jax.random.PRNGKey(0), model_config)
-    )
+    flat = _init_flat_cached(model_config)
     out: typing.Dict[str, typing.Tuple[int, ...]] = {}
     for name, arr in flat.items():
         if name.endswith(".weight_g"):
@@ -368,11 +401,16 @@ def recover_initializer_names(
     initializers: typing.Mapping[str, np.ndarray],
     nodes: typing.Sequence[typing.Any],
     model_config,
+    strict: bool = False,
 ) -> typing.Dict[str, np.ndarray]:
     """Map a real export's initializers onto expected parameter names.
 
     Returns {expected_dotted_name (or weight_g/v form): tensor},
     dropping graph constants that are not parameters.
+
+    With ``strict=True``, raises :class:`ConversionError` when any
+    parameter that is live at inference cannot be recovered — an
+    unknown graph layout must fail loudly, not produce wrong audio.
     """
     expected = expected_params_from_config(model_config)
     result: typing.Dict[str, np.ndarray] = {}
@@ -389,8 +427,31 @@ def recover_initializer_names(
         used.add(init_name)
         return True
 
-    # pass 1: direct / prefixed dotted names (incl. unfolded weight norm)
-    for name, arr in initializers.items():
+    # Identity nodes forward deduplicated initializers to their other
+    # consumers — resolve the aliases first.  Exporters deduplicate
+    # bitwise-identical tensors (all-zero flow `post` weights, all-one
+    # layer-norm gammas of equal width...), keeping ONE initializer and
+    # re-deriving the rest through Identity nodes whose OUTPUT names
+    # still carry the original dotted parameter names.
+    alias: typing.Dict[str, str] = {}
+    for node in nodes:
+        if (
+            node.op_type == "Identity"
+            and node.inputs
+            and node.outputs
+        ):
+            src = alias.get(node.inputs[0], node.inputs[0])
+            if src in initializers:
+                alias[node.outputs[0]] = src
+
+    # pass 1: direct / prefixed dotted names (incl. unfolded weight
+    # norm), over real initializers AND Identity-alias output names
+    named_entries = list(initializers.items()) + [
+        (out_name, initializers[src])
+        for out_name, src in alias.items()
+        if out_name not in initializers
+    ]
+    for name, arr in named_entries:
         norm = normalize_param_name(name)
         if norm is None or "." not in norm:
             continue
@@ -409,19 +470,6 @@ def recover_initializer_names(
         if exp is not None:
             claim(exp, name, np.asarray(arr))
 
-    # Identity nodes forward deduplicated initializers to their other
-    # consumers — resolve the aliases first
-    alias: typing.Dict[str, str] = {}
-    for node in nodes:
-        if (
-            node.op_type == "Identity"
-            and node.inputs
-            and node.outputs
-        ):
-            src = alias.get(node.inputs[0], node.inputs[0])
-            if src in initializers:
-                alias[node.outputs[0]] = src
-
     # consumers: initializer -> [(node_idx, input_pos, node)]
     consumers: typing.Dict[
         str, typing.List[typing.Tuple[int, int, typing.Any]]
@@ -434,6 +482,35 @@ def recover_initializer_names(
             if inp in initializers:
                 consumers.setdefault(inp, []).append((idx, pos, node))
 
+    # producers: tensor name -> node that outputs it (for structural
+    # pattern checks on decomposed ops)
+    producer: typing.Dict[str, typing.Any] = {}
+    for node in nodes:
+        for out in node.outputs:
+            producer[out] = node
+
+    def _is_norm_site(node, pos) -> bool:
+        """True when (node, init-position) is a decomposed layer-norm
+        gamma (Mul whose partner descends from Div) or beta (Add whose
+        partner is such a Mul) site."""
+        others = [
+            inp for p, inp in enumerate(node.inputs) if p != pos
+        ]
+        if len(others) != 1:
+            return False
+        src = producer.get(others[0])
+        if node.op_type == "Mul":
+            return src is not None and src.op_type == "Div"
+        if node.op_type == "Add":
+            if src is None or src.op_type != "Mul":
+                return False
+            return any(
+                producer.get(i) is not None
+                and producer[i].op_type == "Div"
+                for i in src.inputs
+            )
+        return False
+
     # pass 2: recover from scoped consumer-node names (torch >= 1.13).
     # One initializer may be consumed by several nodes — exporters
     # deduplicate bitwise-identical tensors — so claim per CONSUMER.
@@ -441,7 +518,13 @@ def recover_initializer_names(
         for _idx, pos, node in consumers.get(name, ()):
             leaf = _PARAM_POSITIONS.get(node.op_type, {}).get(pos)
             if leaf is None:
-                continue
+                # opset < 17: LayerNorm decomposed into Mul/Add sites
+                if node.op_type in _NORM_DECOMPOSED_LEAVES and (
+                    _is_norm_site(node, pos)
+                ):
+                    leaf = _NORM_DECOMPOSED_LEAVES[node.op_type]
+                else:
+                    continue
             scope = _scope_to_path(node.name or "")
             if not scope:
                 continue
@@ -470,7 +553,7 @@ def recover_initializer_names(
     for base in ea_bases:
         m_name, logs_name = f"{base}.m", f"{base}.logs"
         shape = expected[m_name]
-        sub_c, exp_c, mul_c = None, None, None
+        sub_c, exp_c, mul_c, neg_c = None, None, None, None
         for name, arr in initializers.items():
             if tuple(np.shape(arr)) != shape:
                 continue
@@ -483,10 +566,27 @@ def recover_initializer_names(
                 elif node.op_type == "Exp":
                     # torch folded Neg(logs): the initializer IS -logs
                     exp_c = name
+                elif node.op_type == "Neg":
+                    # unfolded export: initializer -> Neg -> Exp, the
+                    # initializer IS logs (positive sign)
+                    nxt = [
+                        n
+                        for n in nodes
+                        if node.outputs
+                        and node.outputs[0] in n.inputs
+                    ]
+                    if any(n.op_type == "Exp" for n in nxt):
+                        neg_c = name
                 elif node.op_type == "Mul":
                     mul_c = name
         if sub_c is not None:
             claim(m_name, sub_c, np.asarray(initializers[sub_c]))
+        if logs_name not in claimed and neg_c is not None:
+            claim(
+                logs_name,
+                neg_c,
+                np.asarray(initializers[neg_c], np.float32),
+            )
         if logs_name not in claimed and exp_c is not None:
             claim(
                 logs_name,
@@ -550,6 +650,67 @@ def recover_initializer_names(
                             )
                 break
 
+    # pass 4b: decomposed layer norms in legacy exports without scoped
+    # node names — gamma/beta sites are identified STRUCTURALLY (Mul
+    # partnered with Div / the following Add) and matched against the
+    # unclaimed norm modules in execution order, shape-gated.
+    norm_sites: typing.List[
+        typing.Tuple[str, str, typing.Optional[str], typing.Optional[str]]
+    ] = []
+    for idx, node in enumerate(nodes):
+        if node.op_type != "Mul":
+            continue
+        g_pos = None
+        for pos, inp in enumerate(node.inputs):
+            if alias.get(inp, inp) in initializers and _is_norm_site(
+                node, pos
+            ):
+                g_pos = pos
+                break
+        if g_pos is None:
+            continue
+        g_name = alias.get(node.inputs[g_pos], node.inputs[g_pos])
+        b_name = None
+        if node.outputs:
+            for nxt in nodes[idx:]:
+                if (
+                    nxt.op_type == "Add"
+                    and node.outputs[0] in nxt.inputs
+                ):
+                    for inp in nxt.inputs:
+                        cand = alias.get(inp, inp)
+                        if cand in initializers:
+                            b_name = cand
+                    break
+        norm_sites.append((g_name, b_name))
+    if norm_sites:
+        norm_order = [
+            path
+            for path in expected_execution_order(model_config)
+            if f"{path}.gamma" in expected
+            and f"{path}.gamma" not in claimed
+        ]
+        for g_name, b_name in norm_sites:
+            g_arr = np.asarray(initializers[g_name])
+            for path in norm_order:
+                g_exp = f"{path}.gamma"
+                if g_exp in claimed:
+                    continue
+                if tuple(g_arr.shape) == expected[g_exp]:
+                    if claim(g_exp, g_name, g_arr):
+                        b_exp = f"{path}.beta"
+                        if (
+                            b_name is not None
+                            and b_exp in expected
+                            and b_exp not in claimed
+                        ):
+                            claim(
+                                b_exp,
+                                b_name,
+                                np.asarray(initializers[b_name]),
+                            )
+                    break
+
     # pass 5: deduplicated initializers without scoped names — a tensor
     # consumed at k param positions stands for k (bitwise-identical)
     # parameters; spread it over the unclaimed expected names of the
@@ -560,19 +721,30 @@ def recover_initializer_names(
     }
 
     def _exec_rank(exp_name: str) -> int:
+        # entries like "...emb_rel_k" appear verbatim in the order
+        # list; everything else by its owning module path
+        if exp_name in exec_pos:
+            return exec_pos[exp_name]
         return exec_pos.get(exp_name.rsplit(".", 1)[0], 1 << 30)
+
+    def _use_leaf(node, pos) -> typing.Optional[str]:
+        leaf = _PARAM_POSITIONS.get(node.op_type, {}).get(pos)
+        if leaf is None and node.op_type in _NORM_DECOMPOSED_LEAVES:
+            if _is_norm_site(node, pos):
+                leaf = _NORM_DECOMPOSED_LEAVES[node.op_type]
+        return leaf
 
     for name, arr in initializers.items():
         param_uses = [
             (idx, pos, node)
             for idx, pos, node in consumers.get(name, ())
-            if _PARAM_POSITIONS.get(node.op_type, {}).get(pos)
+            if _use_leaf(node, pos)
         ]
         if len(param_uses) < 2:
             continue
         arr = np.asarray(arr)
         for _idx, pos, node in param_uses:
-            leaf = _PARAM_POSITIONS[node.op_type][pos]
+            leaf = _use_leaf(node, pos)
             cands = sorted(
                 (
                     e
@@ -585,6 +757,48 @@ def recover_initializer_names(
             )
             if cands:
                 claim(cands[0], name, arr)
+
+    # pass 6: anything still unclaimed whose tensor is consumed outside
+    # the op table (e.g. relative-position embeddings feeding
+    # MatMul/Slice chains).  Group leftover initializers and leftover
+    # expected names by shape; within a group, order initializers by
+    # their first consumer's node index (= trace/execution order) and
+    # expected names by execution rank, and pair them 1:1.  Only exact
+    # count matches are paired — ambiguity is left for the strict
+    # error, never guessed.
+    leftover_exp: typing.Dict[
+        typing.Tuple[int, ...], typing.List[str]
+    ] = {}
+    for exp_name, shape in expected.items():
+        if exp_name not in claimed:
+            leftover_exp.setdefault(shape, []).append(exp_name)
+    leftover_init: typing.Dict[
+        typing.Tuple[int, ...],
+        typing.List[typing.Tuple[int, str]],
+    ] = {}
+    for name, arr in initializers.items():
+        if name in used or not consumers.get(name):
+            continue
+        if np.asarray(arr).dtype.kind != "f":
+            continue  # shape/index constants are never parameters
+        first_use = min(idx for idx, _pos, _n in consumers[name])
+        leftover_init.setdefault(tuple(np.shape(arr)), []).append(
+            (first_use, name)
+        )
+    for shape, exp_names in leftover_exp.items():
+        inits_here = sorted(leftover_init.get(shape, []))
+        live = [
+            e for e in exp_names if not _is_dead_at_inference(e)
+        ]
+        if not live or len(inits_here) != len(live):
+            continue
+        live.sort(key=_exec_rank)
+        for (_fu, init_name), exp_name in zip(inits_here, live):
+            claim(
+                exp_name,
+                init_name,
+                np.asarray(initializers[init_name]),
+            )
 
     missing = sorted(set(expected) - claimed)
     if missing:
@@ -605,13 +819,21 @@ def recover_initializer_names(
                 ", ".join(dead[:8]) + ("..." if len(dead) > 8 else ""),
             )
         if unrecovered:
+            detail = ", ".join(unrecovered[:16]) + (
+                "..." if len(unrecovered) > 16 else ""
+            )
+            if strict:
+                raise ConversionError(
+                    f"{len(unrecovered)} live parameters could not be "
+                    f"recovered from the ONNX graph (unknown export "
+                    f"layout or wrong config.json?): {detail}"
+                )
             _LOGGER.warning(
                 "%d LIVE parameters could not be recovered from the "
                 "ONNX graph and will be filled with random init — "
                 "converted audio will be wrong: %s",
                 len(unrecovered),
-                ", ".join(unrecovered[:16])
-                + ("..." if len(unrecovered) > 16 else ""),
+                detail,
             )
     return result
 
@@ -635,13 +857,7 @@ def complete_params(tree: Pytree, model_config) -> Pytree:
     initialization values (they are dead at synthesis — e.g. the first
     ConvFlow of the duration predictor and the posterior/training-only
     modules never appear in a traced inference graph)."""
-    import jax
-
-    from ..models.vits import init_vits_params
-
-    init_flat = flatten_pytree(
-        init_vits_params(jax.random.PRNGKey(0), model_config)
-    )
+    init_flat = _init_flat_cached(model_config)
     flat = flatten_pytree(tree)
     for name, arr in init_flat.items():
         folded = name
@@ -658,7 +874,9 @@ def complete_params(tree: Pytree, model_config) -> Pytree:
 
 
 def onnx_to_pytree(
-    onnx_path: typing.Union[str, Path], model_config=None
+    onnx_path: typing.Union[str, Path],
+    model_config=None,
+    strict: bool = True,
 ) -> Pytree:
     """Read ``generator.onnx`` initializers into a parameter pytree.
 
@@ -668,14 +886,17 @@ def onnx_to_pytree(
     With ``model_config`` (a :class:`~mimic3_tpu.config.ModelConfig`),
     anonymized initializer names from real ``torch.onnx.export``
     artifacts are recovered (see :func:`recover_initializer_names`) and
-    inference-dead parameters are filled from initialization.
+    inference-dead parameters are filled from initialization.  By
+    default an unrecoverable live parameter raises
+    :class:`ConversionError` (``strict=False`` downgrades to a warning
+    and fills from random init).
     """
     from .onnx_reader import read_onnx_graph
 
     initializers, nodes = read_onnx_graph(onnx_path)
     if model_config is not None:
         named = recover_initializer_names(
-            initializers, nodes, model_config
+            initializers, nodes, model_config, strict=strict
         )
         tree = state_dict_to_pytree(named)
         return complete_params(tree, model_config)
@@ -683,7 +904,9 @@ def onnx_to_pytree(
 
 
 def convert_voice_directory(
-    voice_dir: typing.Union[str, Path], force: bool = False
+    voice_dir: typing.Union[str, Path],
+    force: bool = False,
+    strict: bool = True,
 ) -> Path:
     """Convert ``<voice_dir>/generator.onnx`` to ``generator.npz``.
 
@@ -713,7 +936,9 @@ def convert_voice_directory(
                 config_path,
                 err,
             )
-    tree = onnx_to_pytree(onnx_path, model_config=model_config)
+    tree = onnx_to_pytree(
+        onnx_path, model_config=model_config, strict=strict
+    )
     save_pytree_npz(npz_path, tree)
     return npz_path
 
@@ -731,9 +956,17 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
     parser.add_argument(
         "--force", action="store_true", help="Overwrite existing npz"
     )
+    parser.add_argument(
+        "--allow-missing",
+        action="store_true",
+        help="Fill unrecoverable live parameters from random init "
+        "instead of failing (audio WILL be wrong; debugging only)",
+    )
     args = parser.parse_args(argv)
     for voice_dir in args.voice_dir:
-        npz = convert_voice_directory(voice_dir, force=args.force)
+        npz = convert_voice_directory(
+            voice_dir, force=args.force, strict=not args.allow_missing
+        )
         flat = flatten_pytree(load_pytree_npz(npz))
         n_params = int(sum(int(np.prod(v.shape)) for v in flat.values()))
         print(

@@ -495,6 +495,34 @@ def expand_by_durations(
     return jnp.take_along_axis(values, idx[..., None], axis=1)
 
 
+def frame_indexed_prior_noise(
+    rng: jax.Array,
+    num_frames: int,
+    frame_offset: typing.Union[int, jax.Array],
+    batch: int,
+    channels: int,
+) -> jax.Array:
+    """FRAME-INDEXED prior noise [B, F, C] for :meth:`decode_frames`.
+
+    The value at global frame f depends only on (rng, f, batch slot),
+    never on num_frames or frame_offset.  This makes audio independent
+    of the frame bucket (so serving can decode speculatively at a
+    predicted bucket), makes overlapped streaming windows seam-exact by
+    construction (same frame -> same noise), and lets a dp ``shard_map``
+    wrapper generate the noise once globally (XLA-partitioned) and feed
+    per-shard slices that agree bit-exactly with the unsharded path.
+    """
+    base = jax.random.fold_in(rng, 1)
+    frames = frame_offset + jnp.arange(num_frames)
+    keys = jax.vmap(lambda f: jax.random.fold_in(base, f))(frames)
+    noise = jax.vmap(
+        lambda k: jax.random.normal(
+            k, (batch, channels), jnp.float32
+        )
+    )(keys)  # [F, B, C]
+    return jnp.transpose(noise, (1, 0, 2))
+
+
 class VitsModel:
     """Functional VITS model bound to a voice's hyperparameters."""
 
@@ -635,24 +663,13 @@ class VitsModel:
         )
 
         if prior_noise is None:
-            # FRAME-INDEXED noise: the value at global frame f depends
-            # only on (rng, f, batch slot), never on num_frames or
-            # frame_offset.  This makes audio independent of the frame
-            # bucket (so serving can decode speculatively at a
-            # predicted bucket) and makes overlapped streaming windows
-            # seam-exact by construction (same frame -> same noise).
-            base = jax.random.fold_in(rng, 1)
-            frames = frame_offset + jnp.arange(num_frames)
-            keys = jax.vmap(lambda f: jax.random.fold_in(base, f))(
-                frames
+            prior_noise = frame_indexed_prior_noise(
+                rng,
+                num_frames,
+                frame_offset,
+                m_p_f.shape[0],
+                m_p_f.shape[-1],
             )
-            b = m_p_f.shape[0]
-            noise = jax.vmap(
-                lambda k: jax.random.normal(
-                    k, (b, m_p_f.shape[-1]), jnp.float32
-                )
-            )(keys)  # [F, B, C]
-            prior_noise = jnp.transpose(noise, (1, 0, 2))
         z_p = m_p_f + prior_noise * jnp.exp(logs_p_f) * noise_scale
         z_p = z_p * y_mask
 

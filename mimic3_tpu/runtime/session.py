@@ -204,22 +204,49 @@ class VitsSession:
         pallas_stage = config.tpu.pallas_stage_max_channels
         if pallas_stage is None:
             # auto: on-TPU only (measured 2.2x on the C=32 stage;
-            # interpret-mode on CPU would be slow).  Disabled under a
-            # dp>1 mesh until the custom call's SPMD partitioning is
-            # validated on real multi-chip hardware — XLA's partitioner
-            # does not generally know how to shard pallas_call.
+            # interpret-mode on CPU would be slow)
             on_tpu = jax.default_backend() == "tpu"
-            single_device = mesh is None or mesh.size == 1
-            pallas_stage = 32 if (on_tpu and single_device) else 0
+            pallas_stage = 32 if on_tpu else 0
+        # Capability gate, not a single-device gate: XLA's SPMD
+        # partitioner cannot shard pallas_call, so under a mesh the
+        # batched decode runs through a dp shard_map wrapper (each
+        # shard executes the kernel on its local batch rows).  tp
+        # shards the wide weights, which the folded kernel does not
+        # support — kernel off only in that case.
+        tp_size = 1 if mesh is None else int(mesh.shape.get("tp", 1))
+        mesh_kernel = (
+            mesh is not None and tp_size == 1 and pallas_stage > 0
+        )
         self.model = VitsModel(
             config.model,
             compute_dtype=compute_dtype,
             decoder_dtype=decoder_dtype,
             use_pallas=config.tpu.use_pallas,
-            pallas_stage_max_channels=pallas_stage,
+            # under a mesh the plain (XLA-partitioned) executables must
+            # never reach pallas_call; kernel decodes go via shard_map
+            pallas_stage_max_channels=pallas_stage if mesh is None else 0,
+        )
+        self._kernel_model = (
+            VitsModel(
+                config.model,
+                compute_dtype=compute_dtype,
+                decoder_dtype=decoder_dtype,
+                use_pallas=config.tpu.use_pallas,
+                pallas_stage_max_channels=pallas_stage,
+            )
+            if mesh_kernel
+            else None
         )
         self.params = jax.tree_util.tree_map(jnp.asarray, dict(params))
         self.mesh = mesh
+        # multi-controller (jax.distributed) run: the mesh spans devices
+        # this process cannot address, so arrays are assembled with
+        # make_array_from_callback (every process holds the full host
+        # value) and jit outputs are forced replicated so every process
+        # can fetch them (SURVEY.md §2.4 comm-backend plan)
+        self._multiprocess = (
+            mesh is not None and jax.process_count() > 1
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -229,8 +256,13 @@ class VitsSession:
             self._replicated = NamedSharding(mesh, P())
             self._batch_sharding = batch_sharding(mesh)
             shardings = param_sharding(self.mesh, self.params, use_tp=use_tp)
+            place = (
+                self._make_global_array
+                if self._multiprocess
+                else jax.device_put
+            )
             self.params = jax.tree_util.tree_map(
-                jax.device_put, self.params, shardings
+                place, self.params, shardings
             )
         else:
             self.dp = 1
@@ -298,11 +330,91 @@ class VitsSession:
                 enc_stats=(m_p, logs_p),
             )
 
-        self._dur_fn = jax.jit(dur_fn)
-        self._dec_fn = jax.jit(dec_fn, static_argnames=("num_frames",))
-        self._enc_fn = jax.jit(enc_fn)
+        # multi-controller runs force replicated outputs so every
+        # process can fetch results (and np.asarray host syncs on
+        # durations/totals work); single-process meshes keep XLA's
+        # layout choice
+        out_rep = (
+            {"out_shardings": self._replicated}
+            if self._multiprocess
+            else {}
+        )
+        if self._kernel_model is not None:
+            # dp-sharded decode with the fused Pallas stage kernel:
+            # noise is generated GLOBALLY (frame-indexed, XLA-
+            # partitioned) so per-shard rows see exactly the values the
+            # unsharded path would — then shard_map hands each device
+            # its local batch rows and the kernel runs as on one chip.
+            import functools
+
+            from jax.sharding import PartitionSpec as P
+
+            from ..models.vits.model import frame_indexed_prior_noise
+
+            kernel_model = self._kernel_model
+            inter = config.model.inter_channels
+
+            def dec_local(
+                params, ids, lengths, durations, rng, noise_scale,
+                sid, noise, *, num_frames,
+            ):
+                return kernel_model.decode_frames(
+                    params, ids, lengths, durations, num_frames, rng,
+                    noise_scale,
+                    sid=sid if multispeaker else None,
+                    prior_noise=noise,
+                )
+
+            def dec_fn_sharded(
+                params, ids, lengths, durations, rng, noise_scale,
+                sid, *, num_frames,
+            ):
+                noise = frame_indexed_prior_noise(
+                    rng, num_frames, 0, ids.shape[0], inter
+                )
+                return jax.shard_map(
+                    functools.partial(dec_local, num_frames=num_frames),
+                    mesh=mesh,
+                    in_specs=(
+                        P(), P("dp"), P("dp"), P("dp"), P(), P(),
+                        P("dp"), P("dp"),
+                    ),
+                    out_specs=(P("dp"), P("dp")),
+                    check_vma=False,
+                )(
+                    params, ids, lengths, durations, rng,
+                    noise_scale, sid, noise,
+                )
+
+            self._dec_fn = jax.jit(
+                dec_fn_sharded, static_argnames=("num_frames",),
+                **out_rep,
+            )
+        else:
+            self._dec_fn = jax.jit(
+                dec_fn, static_argnames=("num_frames",), **out_rep
+            )
+        self._dur_fn = jax.jit(dur_fn, **out_rep)
+        self._enc_fn = jax.jit(enc_fn, **out_rep)
         self._dec_chunk_fn = jax.jit(
-            dec_chunk_fn, static_argnames=("num_frames",)
+            dec_chunk_fn, static_argnames=("num_frames",), **out_rep
+        )
+
+    def jit_executable_count(self) -> int:
+        """Total compiled executables across the session's jit entry
+        points.  Serving reads this via /api/stats before and after a
+        load phase to assert no XLA compile happened on the hot path
+        (BASELINE.md: "no recompilation on hot path")."""
+        return int(
+            sum(
+                f._cache_size()
+                for f in (
+                    self._dur_fn,
+                    self._dec_fn,
+                    self._enc_fn,
+                    self._dec_chunk_fn,
+                )
+            )
         )
 
     # -- shared sessions -----------------------------------------------------
@@ -322,6 +434,20 @@ class VitsSession:
 
     # -- device placement -------------------------------------------------------
 
+    def _make_global_array(self, x, sharding):
+        """Host value -> global array on a multi-process mesh.
+
+        ``jax.device_put`` cannot target shardings with non-addressable
+        devices; every process holds the identical full host value, so
+        each shard is materialized by slicing it locally.
+        """
+        import jax
+
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
     def _put(self, x, *, sharded: bool):
         """Place an array on the device/mesh.
 
@@ -335,9 +461,13 @@ class VitsSession:
         x = jnp.asarray(x)
         if self.mesh is None:
             return x
-        if sharded and x.ndim >= 1 and x.shape[0] % self.dp == 0:
-            return jax.device_put(x, self._batch_sharding)
-        return jax.device_put(x, self._replicated)
+        use_batch = (
+            sharded and x.ndim >= 1 and x.shape[0] % self.dp == 0
+        )
+        sharding = self._batch_sharding if use_batch else self._replicated
+        if self._multiprocess:
+            return self._make_global_array(x, sharding)
+        return jax.device_put(x, sharding)
 
     # -- rng -------------------------------------------------------------------
 

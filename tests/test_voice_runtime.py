@@ -113,7 +113,6 @@ def test_multispeaker_voice(tmp_path):
     assert (len(a0) != len(a1)) or (
         np.abs(a0[:n].astype(np.int32) - a1[:n].astype(np.int32)).max() > 0
     )
-    del jnp
 
 
 def test_shared_sessions(voice_dir):

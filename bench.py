@@ -32,7 +32,23 @@ def main() -> int:
     parser.add_argument(
         "--single-stream",
         action="store_true",
-        help="Also report single-stream RTF",
+        default=True,
+        help="Also report single-stream RTF (default on)",
+    )
+    parser.add_argument(
+        "--no-single-stream",
+        dest="single_stream",
+        action="store_false",
+    )
+    parser.add_argument(
+        "--batch32",
+        action="store_true",
+        default=True,
+        help="Also report the batch-32 device-loop point (default on; "
+        "round-2 curve showed batch 32 ~3%% over batch 16)",
+    )
+    parser.add_argument(
+        "--no-batch32", dest="batch32", action="store_false"
     )
     parser.add_argument(
         "--multispeaker",
@@ -88,6 +104,9 @@ def main() -> int:
         timer.daemon = True
         timer.start()
 
+    import logging
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -97,6 +116,22 @@ def main() -> int:
     from mimic3_tpu.runtime.session import enable_compilation_cache
 
     enable_compilation_cache()  # remote compiles are minutes-slow; reuse
+    # cold-start diagnostics (BENCH r02 recorded a 67.8s warmup despite
+    # a warm cache): log every real XLA compile with its duration to
+    # stderr, and count persistent-cache entries written by this run —
+    # new entries == cache misses.  jax's own handler prints these;
+    # only make sure the logger level lets them through.
+    jax.config.update("jax_log_compiles", True)
+    logging.getLogger("jax._src.dispatch").setLevel(logging.WARNING)
+    cache_dir = jax.config.jax_compilation_cache_dir
+
+    def _cache_entries() -> int:
+        try:
+            return len(os.listdir(cache_dir)) if cache_dir else -1
+        except OSError:
+            return -1
+
+    cache_before = _cache_entries()
     device = jax.devices()[0]
     print(f"device: {device}", file=sys.stderr)
 
@@ -207,10 +242,8 @@ def main() -> int:
     for i in range(args.warmup):
         checksum, sample_lengths = synthesize(jax.random.fold_in(rng, i))
         float(checksum)  # force completion
-    print(
-        f"warmup+compile: {time.perf_counter() - t0:.1f}s",
-        file=sys.stderr,
-    )
+    warmup_sec = time.perf_counter() - t0
+    print(f"warmup+compile: {warmup_sec:.1f}s", file=sys.stderr)
 
     # timed: full pipeline including the duration->frames host sync.
     # NOTE on this environment: each host->device call pays ~25ms tunnel
@@ -239,7 +272,7 @@ def main() -> int:
     loop_n = 8
 
     @jax.jit
-    def pipeline_loop(params, ids, lengths, rng):
+    def pipeline_loop(params, ids, lengths, rng, sid):
         def body(i, carry):
             acc, audio_samples = carry
             step_rng = jax.random.fold_in(rng, i)
@@ -262,20 +295,73 @@ def main() -> int:
         )
         return acc, samples
 
-    acc, _ = pipeline_loop(params, ids, lengths, rng)
-    float(acc)  # compile + complete
-    t0 = time.perf_counter()
-    reps = 3
-    total_samples = 0
-    for i in range(reps):
-        acc, samples = pipeline_loop(
-            params, ids, lengths, jax.random.fold_in(rng, 7000 + i)
-        )
-        float(acc)
-        total_samples += int(samples)
-    loop_elapsed = time.perf_counter() - t0
-    per_decode = loop_elapsed / (reps * loop_n)
-    device_throughput = (total_samples / sample_rate) / loop_elapsed
+    def time_pipeline_loop(ids_in, lengths_in, sid_in, reps=3):
+        """Compile + run the in-graph loop; (audio-s/s, s/pipeline)."""
+        acc, _ = pipeline_loop(params, ids_in, lengths_in, rng, sid_in)
+        float(acc)  # compile + complete
+        t1 = time.perf_counter()
+        n_samples = 0
+        for i in range(reps):
+            acc, samples = pipeline_loop(
+                params, ids_in, lengths_in,
+                jax.random.fold_in(rng, 7000 + i), sid_in,
+            )
+            float(acc)
+            n_samples += int(samples)
+        dt = time.perf_counter() - t1
+        return (n_samples / sample_rate) / dt, dt / (reps * loop_n)
+
+    device_throughput, per_decode = time_pipeline_loop(
+        ids, lengths, sid
+    )
+
+    # -- MFU: analytic FLOPs of the compiled executables (XLA cost
+    # analysis) over measured device time, vs the chip's bf16 peak.
+    # Publishing this makes the "70-75% of peak" plateau claim
+    # auditable from the BENCH artifact alone (VERDICT r02 weak #6).
+    def _flops_of(jitfn, *call_args, **call_kw) -> float:
+        try:
+            compiled = jitfn.lower(*call_args, **call_kw).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception as err:  # cost analysis is best-effort
+            print(f"cost_analysis failed: {err}", file=sys.stderr)
+            return 0.0
+
+    step_rng = jax.random.fold_in(rng, 0)
+    durations0, _ = dur_fn(
+        params, ids, lengths, step_rng,
+        jnp.float32(length_scale), jnp.float32(0.8), sid,
+    )
+    flops_step = _flops_of(
+        dur_fn, params, ids, lengths, step_rng,
+        jnp.float32(length_scale), jnp.float32(0.8), sid,
+    ) + _flops_of(
+        dec_fn, params, ids, lengths, durations0, args.frames,
+        step_rng, jnp.float32(0.667), sid,
+    )
+
+    def _peak_bf16_flops() -> float:
+        env = os.environ.get("MIMIC3_PEAK_BF16_TFLOPS")
+        if env:
+            return float(env) * 1e12
+        kind = (
+            getattr(device, "device_kind", "") + " " + str(device)
+        ).lower()
+        for tag, peak in (
+            ("v6", 918e12),
+            ("v5p", 459e12),
+            ("v5", 197e12),  # v5e / v5 lite
+            ("v4", 275e12),
+        ):
+            if tag in kind:
+                return peak
+        return 0.0
+
+    peak = _peak_bf16_flops()
+    mfu = (flops_step / per_decode) / peak if peak else 0.0
 
     headline = max(throughput, device_throughput)
     decoder_tag = (
@@ -297,8 +383,37 @@ def main() -> int:
             "elapsed_sec": round(elapsed, 2),
             "audio_sec": round(total_audio_sec, 1),
             "iters": args.iters,
+            "warmup_compile_sec": round(warmup_sec, 1),
+            "compile_cache_new_entries": (
+                _cache_entries() - cache_before
+                if cache_before >= 0
+                else None
+            ),
+            "flops_per_pipeline": round(flops_step),
+            "mfu_vs_bf16_peak": round(mfu, 4),
+            "peak_bf16_tflops": round(peak / 1e12, 1),
         },
     }
+
+    if args.batch32 and args.batch != 32:
+        ids32 = jnp.asarray(
+            rng_np.randint(1, 130, (32, args.phonemes)), jnp.int32
+        )
+        lengths32 = jnp.full((32,), args.phonemes, jnp.int32)
+        sid32 = (
+            jnp.asarray(
+                rng_np.randint(0, config.n_speakers, (32,)), jnp.int32
+            )
+            if args.multispeaker
+            else None
+        )
+        tp32, per32 = time_pipeline_loop(ids32, lengths32, sid32)
+        result["extra"]["batch32_device_loop_throughput"] = round(
+            tp32, 1
+        )
+        result["extra"]["batch32_decode_ms_device"] = round(
+            per32 * 1000, 2
+        )
 
     if args.single_stream:
         ids1 = ids[:1]

@@ -598,6 +598,9 @@ def build_server(app: TtsApp) -> HttpServer:
                 "latency_p99_ms": round(
                     stats.latency_percentile(99) * 1000, 1
                 ),
+                # load tests diff this across a run to prove the hot
+                # path never paid an XLA compile
+                "jit_executables": session.jit_executable_count(),
             }
         payload = {
             "scheduler": {

@@ -55,6 +55,63 @@ def one_request(i: int) -> float:
         return w.getnframes() / w.getframerate()
 
 
+def one_streaming_request(i: int) -> float:
+    """First-chunk latency (seconds) of a low-latency streaming call.
+
+    BASELINE.md tracks "p50 first-chunk latency" as a target; the
+    reference has no streaming at all (its server renders the full WAV
+    per request, mimic3_http/app.py).
+    """
+    q = urllib.parse.urlencode(
+        {
+            "text": TEXT,
+            "voice": "en_US/test_low",
+            "streaming": "true",
+            "streamingMode": "low-latency",
+        }
+    )
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(
+        f"{BASE}/api/tts?{q}", timeout=600
+    ) as r:
+        first = r.read(1)  # returns on the first streamed byte
+        latency = time.perf_counter() - t0
+        assert first, "empty streaming response"
+        r.read()  # drain
+    return latency
+
+
+def _percentile(values, pct: float) -> float:
+    ordered = sorted(values)
+    idx = min(len(ordered) - 1, int(pct / 100.0 * len(ordered)))
+    return ordered[idx]
+
+
+def first_chunk_latency_sweep() -> dict:
+    """p50/p99 first-chunk latency at 1/4/16 concurrent streamers."""
+    out = {}
+    for conc in (1, 4, 16):
+        n = max(16, conc * 4)
+        with ThreadPoolExecutor(max_workers=conc) as pool:
+            lats = list(pool.map(one_streaming_request, range(n)))
+        out[f"c{conc}"] = {
+            "n": n,
+            "p50_ms": round(_percentile(lats, 50) * 1000, 1),
+            "p99_ms": round(_percentile(lats, 99) * 1000, 1),
+        }
+        print(f"first-chunk latency @ {conc} clients: {out[f'c{conc}']}",
+              flush=True)
+    return out
+
+
+def jit_executables() -> int:
+    with urllib.request.urlopen(f"{BASE}/api/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    return sum(
+        v.get("jit_executables", 0) for v in stats["voices"].values()
+    )
+
+
 def main() -> int:
     voices_root = Path(tempfile.mkdtemp(prefix="serve_load_"))
     voice_dir = voices_root / "en_US" / "test_low"
@@ -87,6 +144,12 @@ def main() -> int:
         # come up first; issue one request to settle compiles
         one_request(-1)
 
+        # settle streaming executables too, then snapshot the jit
+        # cache: any growth during the load phases below is a compile
+        # on the hot path (SLO: zero)
+        one_streaming_request(-1)
+        executables_before = jit_executables()
+
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=CONCURRENCY) as pool:
             audio_secs = list(
@@ -94,11 +157,15 @@ def main() -> int:
             )
         elapsed = time.perf_counter() - t0
 
+        latency = first_chunk_latency_sweep()
+        executables_after = jit_executables()
+
         with urllib.request.urlopen(
             f"{BASE}/api/stats", timeout=30
         ) as r:
             stats = json.loads(r.read())
 
+        hot_path_compiles = executables_after - executables_before
         print(
             json.dumps(
                 {
@@ -113,10 +180,19 @@ def main() -> int:
                         "mean_batch_size"
                     ],
                     "batches": stats["scheduler"]["batches"],
+                    "first_chunk_latency": latency,
+                    "hot_path_compiles": hot_path_compiles,
                 }
             ),
             flush=True,
         )
+        if hot_path_compiles:
+            print(
+                f"SLO VIOLATION: {hot_path_compiles} XLA compiles on "
+                "the serving hot path",
+                flush=True,
+            )
+            return 1
     finally:
         server.terminate()
         server.wait(timeout=30)

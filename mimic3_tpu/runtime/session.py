@@ -924,6 +924,15 @@ class VitsSession:
             )
         rng = self._put(self._next_key(0), sharded=False)
 
+        # progress logging: on remote-compile environments a full grid
+        # can take the better part of an hour — a silent warmup is
+        # indistinguishable from a hang (observed operationally)
+        import itertools
+
+        combos = [(b, t) for b in batch_sizes for t in tb]
+        n_total = len(combos) * (1 + len(fb))
+        done_counter = itertools.count(1)
+
         def warm_bt(b: int, t: int):
             ids = self._put(np.zeros((b, t), np.int32), sharded=True)
             lengths = self._put(
@@ -934,6 +943,11 @@ class VitsSession:
                 self.params, ids, lengths, rng,
                 jnp.float32(1.0), jnp.float32(0.8), sid,
             )
+            _LOGGER.info(
+                "warmup %d/%d: duration b=%d t=%d (%.0fs)",
+                next(done_counter), n_total, b, t,
+                time.perf_counter() - start,
+            )
             return ids, lengths, sid, durations
 
         def warm_dec(args, f):
@@ -942,8 +956,11 @@ class VitsSession:
                 self.params, ids, lengths, durations, rng,
                 jnp.float32(0.667), sid, num_frames=f,
             )
-
-        combos = [(b, t) for b in batch_sizes for t in tb]
+            _LOGGER.info(
+                "warmup %d/%d: decode b=%d f=%d (%.0fs)",
+                next(done_counter), n_total,
+                int(ids.shape[0]), f, time.perf_counter() - start,
+            )
         if parallel > 1:
             from concurrent.futures import ThreadPoolExecutor
 

@@ -138,16 +138,27 @@ def main() -> int:
         stderr=subprocess.STDOUT,
     )
     try:
+        # The server binds only AFTER preload+warmup completes
+        # (server/__main__.py), so healthy == fully warmed.  On a
+        # remote-compile environment a cold cache makes this take the
+        # better part of an hour; the server's per-combo warmup INFO
+        # logs (see server.log) show progress.
+        t_start = time.perf_counter()
         print("waiting for warmup...", flush=True)
-        wait_healthy(timeout=3600)
-        # healthcheck responds before warmup completes only if routes
-        # come up first; issue one request to settle compiles
+        wait_healthy(timeout=5400)
+        print(
+            f"healthy after {time.perf_counter() - t_start:.0f}s",
+            flush=True,
+        )
+        # settle requests: absorb any executable the warmup grid missed
         one_request(-1)
-
-        # settle streaming executables too, then snapshot the jit
-        # cache: any growth during the load phases below is a compile
-        # on the hot path (SLO: zero)
         one_streaming_request(-1)
+        print(
+            f"settled after {time.perf_counter() - t_start:.0f}s",
+            flush=True,
+        )
+        # snapshot the jit cache: any growth during the load phases
+        # below is a compile on the hot path (SLO: zero)
         executables_before = jit_executables()
 
         t0 = time.perf_counter()

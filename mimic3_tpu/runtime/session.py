@@ -1000,6 +1000,28 @@ class VitsSession:
                 )
                 n_chunk_compiles += 1
             n_chunk_compiles += 1  # enc_fn
+        # Drain barrier: everything above only DISPATCHES device work —
+        # executable loads and executions queue on the device and, on a
+        # network-attached TPU, block_until_ready is unreliable, so the
+        # first REAL request would pay minutes of queued work (observed:
+        # 6m38s first request after a "complete" warmup).  The device
+        # executes enqueued programs in order, so dispatching one more
+        # (already-warmed) duration pass and fetching its tiny totals
+        # output forces completion of the entire grid.
+        ids_d = self._put(
+            np.zeros((batch_sizes[0], tb[0]), np.int32), sharded=True
+        )
+        lengths_d = self._put(
+            np.full((batch_sizes[0],), tb[0], np.int32), sharded=True
+        )
+        sid_d = self._put(
+            np.zeros((batch_sizes[0],), np.int32), sharded=True
+        )
+        _, totals_d = self._dur_fn(
+            self.params, ids_d, lengths_d, rng,
+            jnp.float32(1.0), jnp.float32(0.8), sid_d,
+        )
+        np.asarray(totals_d)  # host sync = hard barrier
         elapsed = time.perf_counter() - start
         self.stats.compile_count += (
             len(tb) * (len(fb) + 1) * len(batch_sizes)

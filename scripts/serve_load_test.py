@@ -115,12 +115,19 @@ def jit_executables() -> int:
 def main() -> int:
     voices_root = Path(tempfile.mkdtemp(prefix="serve_load_"))
     voice_dir = voices_root / "en_US" / "test_low"
+    # voice creation is seed-derived weights + a validation synth — pure
+    # CPU work; keep it off the TPU so it can't contend with (or block
+    # on) the device the server is about to own
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run(
         [
             sys.executable, "-m", "mimic3_tpu.runtime.testvoice",
             str(voice_dir),
         ],
         check=True,
+        env=env,
     )
 
     server_log = open(voices_root / "server.log", "wb")

@@ -358,10 +358,6 @@ class TpuConfig:
     """dtype for the HiFi-GAN decoder stack (bf16 halves HBM traffic; audio
     is ultimately quantized to int16 so bf16 is inaudible)."""
 
-    use_pallas: bool = False
-    """Route HiFi-GAN resblocks through the fused Pallas kernel (TPU only;
-    benchmark-gated default until profiled faster than plain XLA)."""
-
     pallas_stage_max_channels: typing.Optional[int] = None
     """Stages with channels <= this run as one monolithic folded Pallas
     kernel (ops/stage.py) — targets the bandwidth-bound small-channel

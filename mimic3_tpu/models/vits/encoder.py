@@ -76,8 +76,6 @@ def relative_attention(
     attn_mask: jax.Array,
     n_heads: int,
     window: int = WINDOW_SIZE,
-    use_pallas: bool = False,
-    key_mask: typing.Optional[jax.Array] = None,
 ) -> jax.Array:
     """Self-attention block.
 
@@ -85,8 +83,10 @@ def relative_attention(
     Param keys: conv_q/conv_k/conv_v/conv_o (1x1 convs), emb_rel_k/emb_rel_v
     ([1, 2*window+1, head_dim], heads shared).
 
-    ``use_pallas`` routes through the fused VMEM kernel
-    (mimic3_tpu/ops/attention.py); requires ``key_mask`` [B, T].
+    (A fused Pallas attention kernel was tried and removed: Mosaic
+    rejects its sub-128-lane mask block specs on real TPU, and the
+    encoder is ~5% of pipeline time — docs/STATUS.md round-3
+    "Pallas attention: negative".)
     """
     b, t, c = x.shape
     head_dim = c // n_heads
@@ -98,22 +98,6 @@ def relative_attention(
     # [B, H, T, D]
     def split_heads(y: jax.Array) -> jax.Array:
         return y.reshape(b, t, n_heads, head_dim).transpose(0, 2, 1, 3)
-
-    if use_pallas and key_mask is not None:
-        from ...ops.attention import fused_relative_attention
-
-        rel_k = _get_relative_embeddings(p["emb_rel_k"], t, window)[0]
-        rel_v = _get_relative_embeddings(p["emb_rel_v"], t, window)[0]
-        out = fused_relative_attention(
-            split_heads(q),
-            split_heads(k),
-            split_heads(v),
-            rel_k,
-            rel_v,
-            key_mask,
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return conv1d(out, p["conv_o"])
 
     q = split_heads(q) / math.sqrt(head_dim)
     k = split_heads(k)
@@ -182,7 +166,6 @@ def text_encoder(
     n_heads: int,
     kernel_size: int,
     window: int = WINDOW_SIZE,
-    use_pallas: bool = False,
 ) -> typing.Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the text encoder.
 
@@ -197,7 +180,6 @@ def text_encoder(
         x_mask[:, None, :, 0:1] * x_mask[:, None, None, :, 0]
     )  # [B,1,T,1]*[B,1,1,T] -> [B,1,T,T]
 
-    key_mask = x_mask[..., 0]  # [B, T]
     for i in range(n_layers):
         si = str(i)
         y = relative_attention(
@@ -206,8 +188,6 @@ def text_encoder(
             attn_mask,
             n_heads,
             window,
-            use_pallas=use_pallas,
-            key_mask=key_mask,
         )
         x = layer_norm(x + y, params["norm_layers_1"][si])
         y = ffn(x, params["ffn_layers"][si], x_mask, kernel_size)

@@ -77,7 +77,6 @@ def hifigan_generator(
     upsample_rates: typing.Sequence[int] = (8, 8, 2, 2),
     upsample_kernel_sizes: typing.Sequence[int] = (16, 16, 4, 4),
     compute_dtype: jnp.dtype = jnp.float32,
-    use_pallas: bool = False,
     pallas_stage_max_channels: int = 0,
 ) -> jax.Array:
     """Decode latent frames [B, T, inter] to a waveform [B, T*prod(rates)].
@@ -85,10 +84,6 @@ def hifigan_generator(
     The final conv + tanh run in float32 regardless of ``compute_dtype``
     (the waveform is peak-normalized afterwards, so mantissa precision at
     the output matters more than inside the stack).
-
-    ``use_pallas`` routes the resblock stacks through the fused Pallas
-    kernel (mimic3_tpu/ops/resblock.py) — inference-only (requires folded
-    weight norm) and time lengths divisible by the kernel tile.
     """
     x = x.astype(compute_dtype)
     x = conv1d(x, params["conv_pre"], padding=3)
@@ -96,12 +91,7 @@ def hifigan_generator(
         x = x + conv1d(g.astype(compute_dtype), params["cond"])
 
     num_kernels = len(resblock_kernel_sizes)
-    if use_pallas and resblock_type == "1":
-        from ...ops.resblock import resblock1_fused
-
-        res_fn: typing.Callable = resblock1_fused
-    else:
-        res_fn = resblock1 if resblock_type == "1" else resblock2
+    res_fn = resblock1 if resblock_type == "1" else resblock2
 
     for i, (u, k) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
         stage_params = [

@@ -531,13 +531,11 @@ class VitsModel:
         config: ModelConfig,
         compute_dtype: jnp.dtype = jnp.float32,
         decoder_dtype: jnp.dtype = jnp.bfloat16,
-        use_pallas: bool = False,
         pallas_stage_max_channels: int = 0,
     ):
         self.hp = VitsHyperparams.from_config(config)
         self.compute_dtype = compute_dtype
         self.decoder_dtype = decoder_dtype
-        self.use_pallas = use_pallas
         self.pallas_stage_max_channels = pallas_stage_max_channels
 
     # -- submodule wrappers --------------------------------------------------
@@ -552,7 +550,6 @@ class VitsModel:
             n_layers=self.hp.n_layers,
             n_heads=self.hp.n_heads,
             kernel_size=self.hp.kernel_size,
-            use_pallas=self.use_pallas,
         )
 
     def speaker_embedding(
@@ -713,7 +710,6 @@ class VitsModel:
             upsample_rates=self.hp.upsample_rates,
             upsample_kernel_sizes=self.hp.upsample_kernel_sizes,
             compute_dtype=self.decoder_dtype,
-            use_pallas=self.use_pallas,
             pallas_stage_max_channels=self.pallas_stage_max_channels,
         )
 

@@ -213,37 +213,3 @@ def fused_resblock_subblock(
         w2.astype(dtype),
         b2.reshape(1, -1).astype(dtype),
     )
-
-
-def resblock1_fused(
-    params: typing.Mapping,
-    x: jax.Array,
-    kernel_size: int,
-    dilations: typing.Sequence[int],
-    interpret: bool = False,
-) -> jax.Array:
-    """HiFi-GAN ResBlock1 via the fused Pallas kernel (inference path;
-    weight norm must already be folded).  Falls back to the plain XLA
-    resblock when the time length has no aligned tile size (checked up
-    front — other errors propagate)."""
-    from ..models.vits.layers import fold_weight_norm
-
-    if aligned_tile(x.shape[1]) is None:
-        from ..models.vits.hifigan import resblock1
-
-        return resblock1(params, x, kernel_size, dilations)
-    for j, d in enumerate(dilations):
-        sj = str(j)
-        p1 = fold_weight_norm(params["convs1"][sj])
-        p2 = fold_weight_norm(params["convs2"][sj])
-        x = fused_resblock_subblock(
-            x,
-            p1["weight"],
-            p1.get("bias"),
-            p2["weight"],
-            p2.get("bias"),
-            kernel_size=kernel_size,
-            dilation=d,
-            interpret=interpret,
-        )
-    return x

@@ -221,7 +221,6 @@ class VitsSession:
             config.model,
             compute_dtype=compute_dtype,
             decoder_dtype=decoder_dtype,
-            use_pallas=config.tpu.use_pallas,
             # under a mesh the plain (XLA-partitioned) executables must
             # never reach pallas_call; kernel decodes go via shard_map
             pallas_stage_max_channels=pallas_stage if mesh is None else 0,
@@ -231,7 +230,6 @@ class VitsSession:
                 config.model,
                 compute_dtype=compute_dtype,
                 decoder_dtype=decoder_dtype,
-                use_pallas=config.tpu.use_pallas,
                 pallas_stage_max_channels=pallas_stage,
             )
             if mesh_kernel

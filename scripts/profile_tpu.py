@@ -75,9 +75,10 @@ def main():
     rng = jax.random.PRNGKey(1)
     print("inputs placed", flush=True)
 
-    def make_decode(use_pallas):
+    def make_decode(stage_max_channels):
         model = VitsModel(
-            config, decoder_dtype=jnp.bfloat16, use_pallas=use_pallas
+            config, decoder_dtype=jnp.bfloat16,
+            pallas_stage_max_channels=stage_max_channels,
         )
 
         @jax.jit
@@ -91,7 +92,7 @@ def main():
         return lambda *a: float(dec(*a)[0])
 
     # 1. decode XLA
-    dec_xla = make_decode(False)
+    dec_xla = make_decode(0)
     compile_s, dt = timed(dec_xla, params, ids, lengths, durations, rng)
     audio_sec = B * F * hop / 22050
     log(
@@ -101,10 +102,10 @@ def main():
         audio_sec_per_sec=round(audio_sec / dt, 1),
     )
 
-    # 2. decode Pallas
+    # 2. decode with the fused stage kernel (ops/stage.py)
     if not args.skip_pallas:
         try:
-            dec_pl = make_decode(True)
+            dec_pl = make_decode(32)
             compile_s, dt = timed(
                 dec_pl, params, ids, lengths, durations, rng
             )

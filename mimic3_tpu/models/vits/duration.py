@@ -191,7 +191,23 @@ def stochastic_duration_predictor_infer(
 
     b, t, _ = x.shape
     if noise is None:
-        noise = jax.random.normal(rng, (b, t, 2), dtype=jnp.float32)
+        # POSITION-INDEXED noise: the value at phoneme position p
+        # depends only on (rng, p, channel) — never on the batch slot
+        # or the text bucket the utterance was padded to.  Together
+        # with frame-indexed prior noise (model.py) this makes
+        # sampling batch-invariant: for a fixed seed an utterance's
+        # durations (hence audio) are identical whether synthesized
+        # alone or packed into any scheduler batch.
+        base = jax.random.fold_in(rng, 2)
+        keys = jax.vmap(lambda p: jax.random.fold_in(base, p))(
+            jnp.arange(t)
+        )
+        noise = jnp.broadcast_to(
+            jax.vmap(
+                lambda k: jax.random.normal(k, (2,), jnp.float32)
+            )(keys)[None],
+            (b, t, 2),
+        )
     z = noise * noise_scale * x_mask
 
     # Param keys use torch flow indices: flows.0 = ElementwiseAffine,

@@ -504,23 +504,27 @@ def frame_indexed_prior_noise(
 ) -> jax.Array:
     """FRAME-INDEXED prior noise [B, F, C] for :meth:`decode_frames`.
 
-    The value at global frame f depends only on (rng, f, batch slot),
-    never on num_frames or frame_offset.  This makes audio independent
-    of the frame bucket (so serving can decode speculatively at a
-    predicted bucket), makes overlapped streaming windows seam-exact by
-    construction (same frame -> same noise), and lets a dp ``shard_map``
-    wrapper generate the noise once globally (XLA-partitioned) and feed
-    per-shard slices that agree bit-exactly with the unsharded path.
+    The value at global frame f depends only on (rng, f, channel) —
+    never on num_frames, frame_offset, or the BATCH SLOT the utterance
+    happens to occupy.  This makes audio independent of the frame
+    bucket (so serving can decode speculatively at a predicted bucket),
+    makes overlapped streaming windows seam-exact by construction
+    (same frame -> same noise), lets a dp ``shard_map`` wrapper
+    generate the noise once globally (XLA-partitioned) with per-shard
+    slices that agree bit-exactly with the unsharded path, and — with
+    position-indexed duration noise — makes sampling BATCH-INVARIANT:
+    for a fixed seed, an utterance's audio is identical whether it is
+    synthesized alone or packed into any scheduler batch.
     """
     base = jax.random.fold_in(rng, 1)
     frames = frame_offset + jnp.arange(num_frames)
     keys = jax.vmap(lambda f: jax.random.fold_in(base, f))(frames)
     noise = jax.vmap(
-        lambda k: jax.random.normal(
-            k, (batch, channels), jnp.float32
-        )
-    )(keys)  # [F, B, C]
-    return jnp.transpose(noise, (1, 0, 2))
+        lambda k: jax.random.normal(k, (channels,), jnp.float32)
+    )(keys)  # [F, C] — shared across batch rows
+    return jnp.broadcast_to(
+        noise[None], (batch, num_frames, channels)
+    )
 
 
 class VitsModel:
@@ -607,6 +611,58 @@ class VitsModel:
         w_ceil = jnp.ceil(w)[..., 0].astype(jnp.int32)
         totals = jnp.maximum(jnp.sum(w_ceil, axis=1), 1)
         return w_ceil, totals
+
+    def stream_start(
+        self,
+        params: Params,
+        ids: jax.Array,
+        lengths: jax.Array,
+        rng: jax.Array,
+        length_scale: jax.Array,
+        noise_w: jax.Array,
+        noise_scale: jax.Array,
+        num_frames: int,
+        sid: typing.Optional[jax.Array] = None,
+    ) -> typing.Tuple[
+        jax.Array, jax.Array, jax.Array, jax.Array, jax.Array
+    ]:
+        """Fused first-window pass for (batched) streaming.
+
+        One executable computes the encoder ONCE, samples durations,
+        and decodes the first ``num_frames`` window — so a batch of
+        concurrent streams reaches first audio in a single device
+        dispatch instead of 3 per stream.  Returns
+        ``(durations [B,T], totals [B], m_p, logs_p, audio0)``;
+        continuation windows reuse the returned stats via
+        :meth:`decode_frames` (``enc_stats=...``, same ``rng``) and are
+        seam-exact because prior noise is frame-indexed and
+        batch-invariant (:func:`frame_indexed_prior_noise`).
+
+        Duration math matches :meth:`infer_durations` exactly (same
+        ``fold_in`` stream, same ceil) so a continuation computed from
+        these durations is bit-identical to the unbatched path.
+        """
+        x_mask = sequence_mask(lengths, ids.shape[1])
+        g = self.speaker_embedding(params, sid) if sid is not None else None
+        x, m_p, logs_p = self.encode(params, ids, x_mask)
+        logw = self.log_durations(
+            params, x, x_mask, jax.random.fold_in(rng, 0), noise_w, g
+        )
+        w = jnp.exp(logw) * x_mask * length_scale
+        durations = jnp.ceil(w)[..., 0].astype(jnp.int32)
+        totals = jnp.maximum(jnp.sum(durations, axis=1), 1)
+        audio0, _ = self.decode_frames(
+            params,
+            ids,
+            lengths,
+            durations,
+            num_frames,
+            rng,
+            noise_scale,
+            sid=sid,
+            enc_stats=(m_p, logs_p),
+        )
+        return durations, totals, m_p, logs_p, audio0
 
     # -- stage 2: decode -------------------------------------------------------
 

@@ -140,6 +140,26 @@ class SessionStats:
         return ordered[idx]
 
 
+class _LazyHostRows:
+    """Device arrays fetched to host ONCE, lazily, shared by the row
+    generators of one batched stream start.  The fetch happens after
+    first chunks are already yielded — off the first-chunk latency
+    path — and only if some stream actually needs a continuation."""
+
+    def __init__(self, *arrays: typing.Any):
+        self._dev: typing.Optional[typing.Tuple] = arrays
+        self._np: typing.Optional[typing.Tuple[np.ndarray, ...]] = None
+        self._lock = threading.Lock()
+
+    def host(self) -> typing.Tuple[np.ndarray, ...]:
+        with self._lock:
+            if self._np is None:
+                assert self._dev is not None
+                self._np = tuple(np.asarray(a) for a in self._dev)
+                self._dev = None
+            return self._np
+
+
 def pick_bucket(
     n: int, buckets: typing.Sequence[int], grow: bool = False
 ) -> int:
@@ -328,6 +348,19 @@ class VitsSession:
                 enc_stats=(m_p, logs_p),
             )
 
+        def stream_start_fn(
+            params, ids, lengths, rng, length_scale, noise_w,
+            noise_scale, sid, *, num_frames,
+        ):
+            # fused encoder + durations + first decode window: a batch
+            # of concurrent streams reaches first audio in ONE device
+            # dispatch (the encoder also runs once instead of twice)
+            return self.model.stream_start(
+                params, ids, lengths, rng, length_scale, noise_w,
+                noise_scale, num_frames,
+                sid=sid if multispeaker else None,
+            )
+
         # multi-controller runs force replicated outputs so every
         # process can fetch results (and np.asarray host syncs on
         # durations/totals work); single-process meshes keep XLA's
@@ -396,6 +429,9 @@ class VitsSession:
         self._enc_fn = jax.jit(enc_fn, **out_rep)
         self._dec_chunk_fn = jax.jit(
             dec_chunk_fn, static_argnames=("num_frames",), **out_rep
+        )
+        self._stream_start_fn = jax.jit(
+            stream_start_fn, static_argnames=("num_frames",), **out_rep
         )
 
     def jit_executable_count(self) -> int:
@@ -749,90 +785,200 @@ class VitsSession:
         Note: audio here is NOT peak-normalized (normalization is
         per-utterance in the batch path; a stream can't know the final
         peak) — callers apply a fixed gain.
+
+        With a batching scheduler attached (server mode) the first
+        window is computed in a SHARED fused device call with every
+        other concurrently-starting stream (:meth:`stream_start_batch`)
+        — first-chunk latency under load stops scaling with the number
+        of concurrent streams.  Output is identical either way:
+        sampling is batch-invariant (model.py noise indexing).
         """
+        batcher = self.batcher
+        if batcher is not None and not batcher.is_scheduler_thread:
+            gen = batcher.submit_stream(
+                self,
+                phoneme_ids,
+                speaker_id=speaker_id or 0,
+                length_scale=length_scale,
+                noise_scale=noise_scale,
+                noise_w=noise_w,
+                seed=seed,
+                chunk_frames=chunk_frames,
+                overlap=overlap,
+                max_frames_cap=max_frames_cap,
+                first_chunk_frames=first_chunk_frames,
+            ).result()
+            yield from gen
+            return
+        yield from self.stream_start_batch(
+            [phoneme_ids],
+            speaker_ids=None if speaker_id is None else [speaker_id],
+            length_scale=length_scale,
+            noise_scale=noise_scale,
+            noise_w=noise_w,
+            seed=seed,
+            chunk_frames=chunk_frames,
+            overlap=overlap,
+            max_frames_cap=max_frames_cap,
+            first_chunk_frames=first_chunk_frames,
+        )[0]
+
+    def stream_start_batch(
+        self,
+        id_sequences: typing.Sequence[typing.Sequence[int]],
+        *,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+        seed: typing.Optional[int] = None,
+        chunk_frames: int = 128,
+        overlap: int = 64,
+        max_frames_cap: int = 32768,
+        first_chunk_frames: typing.Optional[int] = None,
+    ) -> typing.List[typing.Iterator[np.ndarray]]:
+        """Batched streaming: one fused device call starts every stream.
+
+        A single executable (``model.stream_start``) runs the encoder
+        ONCE, samples durations, and decodes the first window for the
+        whole batch — so N concurrent streams reach first audio in one
+        device dispatch instead of 3·N.  Returns one generator per
+        sequence yielding exactly what :meth:`synthesize_ids_chunked`
+        yields (prior noise is frame-indexed and batch-invariant,
+        duration noise position-indexed, so batched and solo streams
+        are identical).  Continuation windows run per-stream at batch 1
+        — they are spread over time and reuse the batched pass's
+        durations and encoder stats.
+        """
+        import jax.numpy as jnp
+
+        batch = len(id_sequences)
+        max_bb = self.batch_buckets[-1]
+        if not self.allow_bucket_growth and batch > max_bb:
+            out: typing.List[typing.Iterator[np.ndarray]] = []
+            for i in range(0, batch, max_bb):
+                out.extend(
+                    self.stream_start_batch(
+                        id_sequences[i : i + max_bb],
+                        speaker_ids=(
+                            None
+                            if speaker_ids is None
+                            else speaker_ids[i : i + max_bb]
+                        ),
+                        length_scale=length_scale,
+                        noise_scale=noise_scale,
+                        noise_w=noise_w,
+                        seed=seed,
+                        chunk_frames=chunk_frames,
+                        overlap=overlap,
+                        max_frames_cap=max_frames_cap,
+                        first_chunk_frames=first_chunk_frames,
+                    )
+                )
+            return out
+        max_text = self.text_buckets[-1]
+        if not self.allow_bucket_growth and any(
+            len(s) > max_text for s in id_sequences
+        ):
+            _LOGGER.warning(
+                "Truncating stream input(s) to the largest warmed "
+                "text bucket (%d)",
+                max_text,
+            )
+            id_sequences = [list(s)[:max_text] for s in id_sequences]
+
+        b_bucket = pick_bucket(
+            batch, self.batch_buckets, grow=self.allow_bucket_growth
+        )
+        if b_bucket % self.dp:
+            b_bucket = -(-b_bucket // self.dp) * self.dp
+        lengths = np.ones((b_bucket,), np.int32)
+        lengths[:batch] = [len(s) for s in id_sequences]
+        t_bucket = pick_bucket(
+            max(1, int(lengths[:batch].max())),
+            self.text_buckets,
+            grow=self.allow_bucket_growth,
+        )
+        ids = np.zeros((b_bucket, t_bucket), np.int32)
+        for i, seq in enumerate(id_sequences):
+            ids[i, : len(seq)] = np.asarray(seq, np.int32)
+        sid = np.zeros((b_bucket,), np.int32)
+        if speaker_ids is not None:
+            sid[:batch] = [s or 0 for s in speaker_ids]
+
+        first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
+        window0 = first_cf + 2 * overlap
+
+        rng = self._put(self._next_key(seed), sharded=False)
+        ids_j = self._put(ids, sharded=True)
+        lengths_j = self._put(lengths, sharded=True)
+        sid_j = self._put(sid, sharded=True)
+
+        durations, totals, m_p, logs_p, audio0 = self._stream_start_fn(
+            self.params,
+            ids_j,
+            lengths_j,
+            rng,
+            jnp.float32(length_scale),
+            jnp.float32(noise_w),
+            jnp.float32(noise_scale),
+            sid_j,
+            num_frames=window0,
+        )
+        totals_np = np.asarray(totals)  # ONE host sync for the batch
+        audio0_np = np.asarray(audio0)
+
+        if not self.allow_bucket_growth:
+            max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
+        shared = _LazyHostRows(durations, m_p, logs_p)
+        return [
+            self._stream_row(
+                ids[i : i + 1],
+                int(lengths[i]),
+                int(sid[i]),
+                rng,
+                int(totals_np[i]),
+                audio0_np[i],
+                shared,
+                i,
+                noise_scale=noise_scale,
+                chunk_frames=chunk_frames,
+                overlap=overlap,
+                first_cf=first_cf,
+                max_frames_cap=max_frames_cap,
+            )
+            for i in range(batch)
+        ]
+
+    def _stream_row(
+        self,
+        ids_row: np.ndarray,
+        length_row: int,
+        sid_row: int,
+        rng: typing.Any,
+        total: int,
+        audio0_row: np.ndarray,
+        shared: "_LazyHostRows",
+        row: int,
+        *,
+        noise_scale: float,
+        chunk_frames: int,
+        overlap: int,
+        first_cf: int,
+        max_frames_cap: int,
+    ) -> typing.Iterator[np.ndarray]:
+        """Yield one stream's chunks from a batched stream start."""
         import jax.numpy as jnp
 
         start_time = time.perf_counter()
         hop = self.model.hp.hop_length
-        max_text = self.text_buckets[-1]
-        if (
-            not self.allow_bucket_growth
-            and len(phoneme_ids) > max_text
-        ):
-            _LOGGER.warning(
-                "Truncating %d-phoneme stream input to the largest "
-                "warmed text bucket (%d)",
-                len(phoneme_ids),
-                max_text,
-            )
-            phoneme_ids = list(phoneme_ids)[:max_text]
-        lengths = np.array([len(phoneme_ids)], np.int32)
-        t_bucket = pick_bucket(
-            int(lengths[0]),
-            self.text_buckets,
-            grow=self.allow_bucket_growth,
-        )
-        ids = np.zeros((1, t_bucket), np.int32)
-        ids[0, : len(phoneme_ids)] = np.asarray(phoneme_ids, np.int32)
-        sid = np.array([speaker_id or 0], np.int32)
-
-        rng = self._put(self._next_key(seed), sharded=False)
-        ids_j = self._put(ids, sharded=False)
-        lengths_j = self._put(lengths, sharded=False)
-        sid_j = self._put(sid, sharded=False)
-
-        durations, totals = self._dur_fn(
-            self.params, ids_j, lengths_j, rng,
-            jnp.float32(length_scale), jnp.float32(noise_w), sid_j,
-        )
-
-        # Speculative first chunk: the first decode window needs only
-        # the (device-resident) durations, not the frame total — so it
-        # is dispatched BEFORE the totals host sync and computes while
-        # that round trip is in flight.  Through a network-attached TPU
-        # the sync is a large share of time-to-first-audio
-        # (docs/STATUS.md round-1 streaming profile).  Prior noise is
-        # frame-indexed in-graph (decode_frames), so no host noise is
-        # generated or transferred, and overlapping windows agree on
-        # shared frames by construction.
-        first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
-        window0 = first_cf + 2 * overlap
-        m_p, logs_p = self._enc_fn(self.params, ids_j, lengths_j)
-        spec_audio = None
-        if self.speculative_decode:
-            spec_audio, _ = self._dec_chunk_fn(
-                self.params,
-                ids_j,
-                lengths_j,
-                durations,
-                rng,
-                jnp.float32(noise_scale),
-                sid_j,
-                jnp.int32(0),
-                m_p,
-                logs_p,
-                num_frames=window0,
-            )
-
-        total = int(np.asarray(totals)[0])
-        if not self.allow_bucket_growth:
-            max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
-        if total > max_frames_cap:
+        truncated = total > max_frames_cap
+        if truncated:
             _LOGGER.warning(
                 "Chunked output of %d frames exceeds cap %d; truncating",
                 total, max_frames_cap,
             )
-            dur_np = np.asarray(durations)
-            cum = np.minimum(np.cumsum(dur_np, axis=1), max_frames_cap)
-            durations = self._put(
-                np.concatenate(
-                    [cum[:, :1], np.diff(cum, axis=1)], axis=1
-                ),
-                sharded=False,
-            )
             total = max_frames_cap
-            # durations changed: the speculative first window is stale
-            spec_audio = None
 
         # chunk grid: optional smaller first chunk, then uniform
         sizes = [first_cf]
@@ -840,6 +986,45 @@ class VitsSession:
         while grid_end < total:
             sizes.append(chunk_frames)
             grid_end += chunk_frames
+
+        dev: typing.Optional[typing.Tuple] = None
+
+        def row_arrays():
+            # lazy: the host fetch + per-row device_put happen after
+            # the first chunk is already out (off the latency path),
+            # once per stream, shared batch arrays fetched once
+            nonlocal dev
+            if dev is None:
+                dur_np, m_p_np, logs_p_np = shared.host()
+                dur_row = dur_np[row : row + 1]
+                if truncated:
+                    cum = np.minimum(
+                        np.cumsum(dur_row, axis=1), max_frames_cap
+                    )
+                    dur_row = np.concatenate(
+                        [cum[:, :1], np.diff(cum, axis=1)], axis=1
+                    )
+                dev = (
+                    self._put(ids_row, sharded=False),
+                    self._put(
+                        np.array([length_row], np.int32), sharded=False
+                    ),
+                    self._put(
+                        np.array([sid_row], np.int32), sharded=False
+                    ),
+                    self._put(
+                        np.ascontiguousarray(dur_row), sharded=False
+                    ),
+                    self._put(
+                        np.ascontiguousarray(m_p_np[row : row + 1]),
+                        sharded=False,
+                    ),
+                    self._put(
+                        np.ascontiguousarray(logs_p_np[row : row + 1]),
+                        sharded=False,
+                    ),
+                )
+            return dev
 
         emitted = 0
         start = 0
@@ -851,27 +1036,32 @@ class VitsSession:
             # never fabricate left context before frame 0
             left = min(overlap, start)
             off = start - left
-            if n_chunk == 0 and spec_audio is not None:
-                # already decoded, overlapped with the totals sync
-                audio = spec_audio
+            if n_chunk == 0 and not truncated:
+                # decoded in the batched fused pass
+                chunk = np.asarray(
+                    audio0_row[: valid * hop], dtype=np.float32
+                )
             else:
+                # (truncation invalidates the batched first window:
+                # its durations predate the cap)
+                i_j, l_j, s_j, d_j, m_j, lg_j = row_arrays()
                 audio, _ = self._dec_chunk_fn(
                     self.params,
-                    ids_j,
-                    lengths_j,
-                    durations,
+                    i_j,
+                    l_j,
+                    d_j,
                     rng,
                     jnp.float32(noise_scale),
-                    sid_j,
+                    s_j,
                     jnp.int32(off),
-                    m_p,
-                    logs_p,
+                    m_j,
+                    lg_j,
                     num_frames=window,
                 )
-            chunk = np.asarray(
-                audio[0, left * hop : (left + valid) * hop],
-                dtype=np.float32,
-            )
+                chunk = np.asarray(
+                    audio[0, left * hop : (left + valid) * hop],
+                    dtype=np.float32,
+                )
             emitted += valid
             start += cf
             yield chunk
@@ -998,6 +1188,40 @@ class VitsSession:
                 )
                 n_chunk_compiles += 1
             n_chunk_compiles += 1  # enc_fn
+        # fused stream-start executables for the batched streaming
+        # path: (batch bucket x text bucket) at the FIRST stream window
+        # (continuation windows are the b=1 chunk executables above)
+        if chunk_windows:
+            w0 = min(chunk_windows)
+
+            def warm_stream(b: int, t: int):
+                ids = self._put(np.zeros((b, t), np.int32), sharded=True)
+                lens = self._put(
+                    np.full((b,), t, np.int32), sharded=True
+                )
+                s = self._put(np.zeros((b,), np.int32), sharded=True)
+                self._stream_start_fn(
+                    self.params, ids, lens, rng, jnp.float32(1.0),
+                    jnp.float32(0.8), jnp.float32(0.667), s,
+                    num_frames=w0,
+                )
+                _LOGGER.info(
+                    "warmup stream-start b=%d t=%d (%.0fs)",
+                    b, t, time.perf_counter() - start,
+                )
+
+            stream_combos = [(b, t) for b in batch_sizes for t in tb]
+            if parallel > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=parallel) as pool:
+                    list(
+                        pool.map(lambda c: warm_stream(*c), stream_combos)
+                    )
+            else:
+                for c in stream_combos:
+                    warm_stream(*c)
+            n_chunk_compiles += len(stream_combos)
         # Drain barrier: everything above only DISPATCHES device work —
         # executable loads and executions queue on the device and, on a
         # network-attached TPU, block_until_ready is unreliable, so the

@@ -35,17 +35,23 @@ class _BatchItem:
     noise_scale: float
     noise_w: float
     seed: typing.Optional[int]
-    future: "Future[np.ndarray]" = field(default_factory=Future)
+    # streaming request: (chunk_frames, overlap, max_frames_cap,
+    # first_chunk_frames) — resolved to a chunk GENERATOR instead of
+    # audio; None = regular full-utterance synthesis
+    stream: typing.Optional[typing.Tuple] = None
+    future: "Future" = field(default_factory=Future)
 
     def batch_key(self) -> typing.Tuple:
-        # requests batch together when the traced scalars and session
-        # match; per-example speaker ids ride along as an array
+        # requests batch together when the traced scalars, session and
+        # chunk grid match; per-example speaker ids ride along as an
+        # array
         return (
             id(self.session),
             self.length_scale,
             self.noise_scale,
             self.noise_w,
             self.seed,
+            self.stream,
         )
 
 
@@ -111,6 +117,45 @@ class BatchScheduler:
             self._queue.put(item)
         return item.future
 
+    def submit_stream(
+        self,
+        session,
+        ids: typing.Sequence[int],
+        *,
+        speaker_id: int = 0,
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+        seed: typing.Optional[int] = None,
+        chunk_frames: int = 128,
+        overlap: int = 64,
+        max_frames_cap: int = 32768,
+        first_chunk_frames: typing.Optional[int] = None,
+    ) -> "Future":
+        """Submit a streaming start; the future resolves to a chunk
+        generator.  Concurrent stream starts with the same settings
+        share ONE fused batched device call
+        (session.stream_start_batch), so first-chunk latency under
+        load stops scaling with the number of concurrent streams."""
+        item = _BatchItem(
+            session=session,
+            ids=list(ids),
+            speaker_id=speaker_id,
+            length_scale=length_scale,
+            noise_scale=noise_scale,
+            noise_w=noise_w,
+            seed=seed,
+            stream=(
+                chunk_frames, overlap, max_frames_cap,
+                first_chunk_frames,
+            ),
+        )
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchScheduler is shut down")
+            self._queue.put(item)
+        return item.future
+
     def shutdown(self) -> None:
         with self._submit_lock:
             self._closed = True
@@ -164,14 +209,31 @@ class BatchScheduler:
             self.stats.batches += 1
             self.stats.items += len(batch)
             try:
-                results = first.session.synthesize_ids_batch(
-                    [item.ids for item in batch],
-                    speaker_ids=[item.speaker_id for item in batch],
-                    length_scale=first.length_scale,
-                    noise_scale=first.noise_scale,
-                    noise_w=first.noise_w,
-                    seed=first.seed,
-                )
+                if first.stream is not None:
+                    cf, ov, cap, fcf = first.stream
+                    results = first.session.stream_start_batch(
+                        [item.ids for item in batch],
+                        speaker_ids=[
+                            item.speaker_id for item in batch
+                        ],
+                        length_scale=first.length_scale,
+                        noise_scale=first.noise_scale,
+                        noise_w=first.noise_w,
+                        seed=first.seed,
+                        chunk_frames=cf,
+                        overlap=ov,
+                        max_frames_cap=cap,
+                        first_chunk_frames=fcf,
+                    )
+                else:
+                    results = first.session.synthesize_ids_batch(
+                        [item.ids for item in batch],
+                        speaker_ids=[item.speaker_id for item in batch],
+                        length_scale=first.length_scale,
+                        noise_scale=first.noise_scale,
+                        noise_w=first.noise_w,
+                        seed=first.seed,
+                    )
                 for item, audio in zip(batch, results):
                     item.future.set_result(audio)
             except Exception as err:

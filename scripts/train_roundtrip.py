@@ -67,8 +67,12 @@ def synth_cli(voices_dir: Path, voice: str, text: str, seed: int = 0):
         input=text.encode(),
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
-        check=True,
     )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr.decode(errors="replace"))
+        raise RuntimeError(
+            f"synthesis CLI failed (rc={proc.returncode}) for {text!r}"
+        )
     with wave.open(io.BytesIO(proc.stdout)) as w:
         data = np.frombuffer(
             w.readframes(w.getnframes()), np.int16
@@ -139,11 +143,19 @@ def main() -> int:
     rows = []
     t0 = time.perf_counter()
     for i, text in enumerate(train_texts):
-        samples, wav_bytes = synth_cli(
-            voices, "en_US/teacher_low", text
-        )
-        (audio_dir / f"utt{i}.wav").write_bytes(wav_bytes)
+        wav_path = audio_dir / f"utt{i}.wav"
+        if not wav_path.is_file():  # idempotent: reuse with --workdir
+            samples, wav_bytes = synth_cli(
+                voices, "en_US/teacher_low", text
+            )
+            wav_path.write_bytes(wav_bytes)
         rows.append(f"utt{i}|{text}")
+        if i % 8 == 0:
+            print(
+                f"  teacher {i + 1}/{len(train_texts)} "
+                f"({time.perf_counter() - t0:.0f}s)",
+                flush=True,
+            )
     (root / "metadata.csv").write_text("\n".join(rows) + "\n")
     print(
         f"teacher dataset: {len(rows)} utterances in "
@@ -152,6 +164,7 @@ def main() -> int:
     )
 
     # 3. student: same architecture, fresh weights, trained from scratch
+    shutil.rmtree(student_dir, ignore_errors=True)  # fresh on rerun
     student_dir.mkdir(parents=True)
     for name in ("config.json", "phonemes.txt"):
         shutil.copy(teacher_dir / name, student_dir / name)

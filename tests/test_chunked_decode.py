@@ -106,3 +106,101 @@ def test_first_chunk_frames_clamped_to_chunk_frames(voice):
     )
     hop = voice.session.model.hp.hop_length
     assert len(chunks[0]) <= 16 * hop
+
+
+def test_batched_stream_start_matches_solo(voice):
+    """stream_start_batch rows are bit-identical to solo chunked
+    streams (batch-invariant sampling: frame-indexed prior noise +
+    position-indexed duration noise)."""
+    session = voice.session
+    seq_a = voice.phonemes_to_ids([list("hello"), list("there")])
+    seq_b = voice.phonemes_to_ids(
+        [list(w) for w in "a much longer sentence entirely".split()]
+    )
+
+    gens = session.stream_start_batch(
+        [seq_b, seq_a],
+        noise_scale=0.667,
+        noise_w=0.8,
+        seed=42,
+        chunk_frames=16,
+        overlap=32,
+        first_chunk_frames=8,
+    )
+    batched = [np.concatenate(list(g)) for g in gens]
+
+    for seq, got in zip((seq_b, seq_a), batched):
+        solo = np.concatenate(
+            list(
+                session.synthesize_ids_chunked(
+                    seq,
+                    noise_scale=0.667,
+                    noise_w=0.8,
+                    seed=42,
+                    chunk_frames=16,
+                    overlap=32,
+                    first_chunk_frames=8,
+                )
+            )
+        )
+        assert len(solo) == len(got)
+        np.testing.assert_allclose(got, solo, atol=2e-5)
+
+
+def test_scheduler_batches_concurrent_streams(voice):
+    """Concurrent synthesize_ids_chunked calls with a scheduler
+    attached share one fused stream-start batch and still produce
+    exactly the solo output."""
+    import threading
+
+    from mimic3_tpu.server.scheduler import BatchScheduler
+
+    session = voice.session
+    seqs = [
+        voice.phonemes_to_ids([list("first"), list("stream")]),
+        voice.phonemes_to_ids([list("second"), list("one")]),
+        voice.phonemes_to_ids([list("third")]),
+    ]
+    kwargs = dict(
+        noise_scale=0.667, noise_w=0.8, seed=7,
+        chunk_frames=16, overlap=32, first_chunk_frames=8,
+    )
+    solos = [
+        np.concatenate(
+            list(session.synthesize_ids_chunked(s, **kwargs))
+        )
+        for s in seqs
+    ]
+
+    scheduler = BatchScheduler(max_batch=8, max_delay_ms=200.0)
+    session.batcher = scheduler
+    results: list = [None] * len(seqs)
+    try:
+        barrier = threading.Barrier(len(seqs))
+
+        def run(i):
+            barrier.wait()
+            results[i] = np.concatenate(
+                list(
+                    session.synthesize_ids_chunked(seqs[i], **kwargs)
+                )
+            )
+
+        threads = [
+            threading.Thread(target=run, args=(i,))
+            for i in range(len(seqs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        session.batcher = None
+        scheduler.shutdown()
+
+    # the three stream starts shared device batches
+    assert scheduler.stats.items == len(seqs)
+    assert scheduler.stats.batches < len(seqs)
+    for solo, got in zip(solos, results):
+        assert got is not None and len(got) == len(solo)
+        np.testing.assert_allclose(got, solo, atol=2e-5)

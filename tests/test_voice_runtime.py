@@ -83,6 +83,27 @@ def test_batch_matches_single(voice):
         np.testing.assert_allclose(single, batched, atol=1e-5)
 
 
+def test_batch_invariant_sampling(voice):
+    """With a fixed seed, NOISY sampling is batch-invariant: an
+    utterance's audio is identical whether synthesized alone or packed
+    into any batch slot/bucket (prior noise is frame-indexed and
+    duration noise position-indexed — neither depends on the batch
+    slot or the padded bucket)."""
+    a = voice.phonemes_to_ids([list("hello")])
+    b = voice.phonemes_to_ids(
+        [list("a"), list("much"), list("longer"), list("utterance")]
+    )
+    solo = voice.session.synthesize_ids(
+        a, noise_scale=0.667, noise_w=0.8, seed=123
+    )
+    # slot 1 of a 2-row batch whose max length forces a larger bucket
+    packed = voice.session.synthesize_ids_batch(
+        [b, a], noise_scale=0.667, noise_w=0.8, seed=123
+    )[1]
+    assert len(solo) == len(packed)
+    np.testing.assert_allclose(solo, packed, atol=1)
+
+
 def test_rtf_tracked(voice):
     assert voice.session.stats.utterances > 0
     assert voice.session.stats.mean_rtf > 0

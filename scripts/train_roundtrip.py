@@ -2,13 +2,22 @@
 """Teacher -> student training round-trip, end-to-end, offline.
 
 Proves the training stack is a real capability, not a smoke test
-(VERDICT r02 weak #4): a deterministic "teacher" voice (symbols
-phonemizer, fixed-seed weights) synthesizes a dataset; a student voice
-with the SAME architecture trains FROM SCRATCH on those wavs via the
-real ``mimic3-train`` CLI; the exported student then serves held-out
-sentences through the real ``mimic3`` CLI and must reach a mel-domain
-correlation > 0.95 against the teacher on sentences it never saw,
-plus a byte-identical deterministic double-run (golden-hash property).
+(VERDICT r02 weak #4): a deterministic RULE-BASED teacher (per-
+character harmonic tones with per-character durations — a structured,
+generalizable text->audio mapping) synthesizes a dataset; a VITS
+student trains FROM SCRATCH on those wavs via the real
+``mimic3-train`` CLI; the exported student then serves HELD-OUT
+sentences through the real ``mimic3`` CLI and must correlate with the
+teacher in the mel domain on text it never saw, plus a byte-identical
+deterministic double-run (golden-hash property).
+
+Teacher design note: an earlier protocol used a random-weights test
+voice as the teacher.  That cannot work even in principle — a random
+encoder's text->audio map has no linguistic structure, so held-out
+word combinations are unpredictable (measured: train corr 0.57,
+heldout 0.44 with durations matching EXACTLY).  The tone teacher has
+exactly the structure real speech has (a per-symbol acoustic identity
++ smooth transitions), so held-out generalization is meaningful.
 
 The reference has no training at all (SURVEY.md preamble) — this is
 extension territory; the round trip exercises train -> export ->
@@ -55,6 +64,61 @@ def _texts(n: int, words_per: int = 6, seed: int = 11):
     return out
 
 
+SAMPLE_RATE = 22050
+
+
+def tone_teacher(text: str) -> np.ndarray:
+    """Deterministic rule-based teacher: text -> float32 waveform.
+
+    Each character has a fixed fundamental (3 harmonics, per-harmonic
+    amplitudes keyed to the character), a fixed duration, and a smooth
+    attack/decay envelope; space is silence.  Continuous phase across
+    the utterance avoids clicks.  This is the structure a TTS student
+    must learn: a per-symbol acoustic identity, per-symbol durations,
+    and coarticulated (smooth) transitions.
+    """
+    pieces = []
+    phase = 0.0
+    for ch in text:
+        code = ord(ch)
+        if ch == " ":
+            n = int(0.06 * SAMPLE_RATE)
+            pieces.append(np.zeros(n, np.float32))
+            continue
+        f0 = 110.0 + 17.0 * (code % 23)
+        dur_s = 0.08 + 0.006 * (code % 9)
+        n = int(dur_s * SAMPLE_RATE)
+        t = (np.arange(n, dtype=np.float64)) / SAMPLE_RATE
+        w = np.zeros(n, np.float64)
+        for h in (1, 2, 3):
+            amp = 0.5 / h * (0.6 + 0.4 * ((code * h) % 5) / 4.0)
+            w += amp * np.sin(
+                2 * np.pi * f0 * h * t + phase * h
+            )
+        phase = (phase + 2 * np.pi * f0 * dur_s) % (2 * np.pi)
+        # 10ms attack/decay envelope (smooth transitions)
+        edge = min(int(0.01 * SAMPLE_RATE), n // 2)
+        env = np.ones(n)
+        env[:edge] = np.linspace(0.0, 1.0, edge)
+        env[-edge:] = np.linspace(1.0, 0.0, edge)
+        pieces.append((w * env * 0.55).astype(np.float32))
+    if not pieces:
+        pieces.append(np.zeros(int(0.06 * SAMPLE_RATE), np.float32))
+    return np.concatenate(pieces)
+
+
+def tone_teacher_wav_bytes(text: str) -> bytes:
+    samples = tone_teacher(text)
+    pcm = np.clip(samples * 32767.0, -32767, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SAMPLE_RATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synth_cli(voices_dir: Path, voice: str, text: str, seed: int = 0):
     """Synthesize through the REAL CLI; returns float32 samples."""
     proc = subprocess.run(
@@ -95,12 +159,12 @@ def mel_of(samples: np.ndarray) -> np.ndarray:
 
 def mel_correlation(a: np.ndarray, b: np.ndarray) -> float:
     """Pearson correlation of log-mel frames, trimmed to the shorter."""
-    ma, mb = mel_of(a), mel_of(b)
-    n = min(ma.shape[-1], mb.shape[-1])
+    ma, mb = mel_of(a), mel_of(b)  # [T, n_mels] (time-major)
+    n = min(ma.shape[0], mb.shape[0])
     if n < 4:
         return 0.0
-    x = ma[..., :n].ravel()
-    y = mb[..., :n].ravel()
+    x = ma[:n].ravel()
+    y = mb[:n].ravel()
     x = x - x.mean()
     y = y - y.mean()
     denom = float(np.linalg.norm(x) * np.linalg.norm(y))
@@ -127,14 +191,11 @@ def main() -> int:
         args.workdir or tempfile.mkdtemp(prefix="mimic3_train_rt_")
     )
     voices = root / "voices"
-    teacher_dir = voices / "en_US" / "teacher_low"
     student_dir = voices / "en_US" / "student_low"
     print(f"workdir: {root}", flush=True)
 
-    # 1. deterministic teacher (tiny dims; seed pinned)
-    create_test_voice(teacher_dir, full_size=False, seed=12345)
-
-    # 2. teacher dataset through the real CLI
+    # 1. teacher dataset: deterministic rule-based tone synthesis
+    #    (pure numpy — no model involved; see tone_teacher docstring)
     texts = _texts(args.n_train + args.n_heldout)
     train_texts = texts[: args.n_train]
     heldout_texts = texts[args.n_train:]
@@ -143,31 +204,27 @@ def main() -> int:
     rows = []
     t0 = time.perf_counter()
     for i, text in enumerate(train_texts):
-        wav_path = audio_dir / f"utt{i}.wav"
-        if not wav_path.is_file():  # idempotent: reuse with --workdir
-            samples, wav_bytes = synth_cli(
-                voices, "en_US/teacher_low", text
-            )
-            wav_path.write_bytes(wav_bytes)
+        (audio_dir / f"utt{i}.wav").write_bytes(
+            tone_teacher_wav_bytes(text)
+        )
         rows.append(f"utt{i}|{text}")
-        if i % 8 == 0:
-            print(
-                f"  teacher {i + 1}/{len(train_texts)} "
-                f"({time.perf_counter() - t0:.0f}s)",
-                flush=True,
-            )
     (root / "metadata.csv").write_text("\n".join(rows) + "\n")
     print(
         f"teacher dataset: {len(rows)} utterances in "
-        f"{time.perf_counter() - t0:.0f}s",
+        f"{time.perf_counter() - t0:.1f}s",
         flush=True,
     )
 
-    # 3. student: same architecture, fresh weights, trained from scratch
+    # 2. student: standard *_low-architecture skeleton (config.json +
+    #    phonemes.txt from the test-voice generator), FRESH weights —
+    #    train_cli starts from scratch when no generator.npz exists
     shutil.rmtree(student_dir, ignore_errors=True)  # fresh on rerun
+    skel = root / "skel"
+    if not (skel / "config.json").is_file():
+        create_test_voice(skel, full_size=False, seed=1)
     student_dir.mkdir(parents=True)
     for name in ("config.json", "phonemes.txt"):
-        shutil.copy(teacher_dir / name, student_dir / name)
+        shutil.copy(skel / name, student_dir / name)
 
     from mimic3_tpu.train_cli import main as train_main
 
@@ -192,10 +249,11 @@ def main() -> int:
         return rc
     assert (student_dir / "generator.npz").is_file()
 
-    # 4. held-out fidelity: student vs teacher mel correlation
+    # 4. held-out fidelity: student (through the REAL CLI) vs the
+    #    rule-based teacher, on sentences the student never saw
     correlations = []
     for text in heldout_texts:
-        t_audio, _ = synth_cli(voices, "en_US/teacher_low", text)
+        t_audio = tone_teacher(text)
         s_audio, _ = synth_cli(voices, "en_US/student_low", text)
         c = mel_correlation(t_audio, s_audio)
         correlations.append(c)
@@ -207,10 +265,28 @@ def main() -> int:
     h1 = hashlib.sha256(wav1).hexdigest()
     deterministic = h1 == hashlib.sha256(wav2).hexdigest()
 
+    # interpretability baseline: mel corr of MISMATCHED text pairs
+    # (the log-mel floor correlates ~0.67 on unrelated tone audio, so
+    # the student gate must clear this by a wide margin)
+    baseline = float(
+        np.mean(
+            [
+                mel_correlation(
+                    tone_teacher(heldout_texts[i]),
+                    tone_teacher(
+                        heldout_texts[(i + 1) % len(heldout_texts)]
+                    ),
+                )
+                for i in range(len(heldout_texts))
+            ]
+        )
+    )
+
     result = {
         "steps": args.steps,
         "mean_corr": round(float(np.mean(correlations)), 4),
         "min_corr": round(float(np.min(correlations)), 4),
+        "baseline_cross_corr": round(baseline, 4),
         "threshold": args.threshold,
         "passed": bool(
             np.mean(correlations) > args.threshold and deterministic

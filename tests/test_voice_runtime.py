@@ -176,8 +176,9 @@ def test_warmup_precompiles_chunk_windows(voice):
     session.warmup(
         text_buckets=(32,), frame_buckets=(64,), chunk_windows=(24, 48)
     )
-    # 1 dur + 1 dec + (enc + 2 chunk windows) = 5 executables
-    assert session.stats.compile_count - before == 5
+    # 1 dur + 1 dec + (enc + 2 chunk windows) + 1 fused stream-start
+    # (batched streaming path) = 6 executables
+    assert session.stats.compile_count - before == 6
     # streaming through the warmed path still works
     ids = voice.phonemes_to_ids([list("warm"), list("boot")])
     chunks = list(

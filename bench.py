@@ -31,24 +31,16 @@ def main() -> int:
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument(
         "--single-stream",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=True,
-        help="Also report single-stream RTF (default on)",
-    )
-    parser.add_argument(
-        "--no-single-stream",
-        dest="single_stream",
-        action="store_false",
+        help="Report single-stream RTF",
     )
     parser.add_argument(
         "--batch32",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=True,
-        help="Also report the batch-32 device-loop point (default on; "
-        "round-2 curve showed batch 32 ~3%% over batch 16)",
-    )
-    parser.add_argument(
-        "--no-batch32", dest="batch32", action="store_false"
+        help="Report the batch-32 device-loop point (round-2 curve "
+        "showed batch 32 ~3%% over batch 16)",
     )
     parser.add_argument(
         "--multispeaker",

@@ -764,8 +764,9 @@ def recover_initializer_names(
     # expected names by shape; within a group, order initializers by
     # their first consumer's node index (= trace/execution order) and
     # expected names by execution rank, and pair them 1:1.  Only exact
-    # count matches are paired — ambiguity is left for the strict
-    # error, never guessed.
+    # count matches are paired (count mismatches fall through to the
+    # strict error); multi-element groups are order-inferred and
+    # WARN-logged so an untested exporter's reordering is reviewable.
     leftover_exp: typing.Dict[
         typing.Tuple[int, ...], typing.List[str]
     ] = {}
@@ -793,6 +794,18 @@ def recover_initializer_names(
         if not live or len(inits_here) != len(live):
             continue
         live.sort(key=_exec_rank)
+        if len(live) > 1:
+            # count-matched but ORDER-inferred: pairing relies on the
+            # exporter tracing same-shape tensors in module execution
+            # order (holds for every torch exporter in the opset 11-17
+            # test matrix, incl. the rel-pos embedding pair).  Loud so
+            # an unknown exporter's swap is reviewable, not silent.
+            _LOGGER.warning(
+                "Order-inferred pairing of %d same-shape params %s "
+                "<- first-consumer order of %s; verify audio parity "
+                "if this export came from an untested toolchain",
+                len(live), live, [n for _fu, n in inits_here],
+            )
         for (_fu, init_name), exp_name in zip(inits_here, live):
             claim(
                 exp_name,

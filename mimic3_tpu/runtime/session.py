@@ -327,13 +327,6 @@ class VitsSession:
                 noise_scale, sid=sid if multispeaker else None,
             )
 
-        def enc_fn(params, ids, lengths):
-            from ..models.vits.layers import sequence_mask
-
-            x_mask = sequence_mask(lengths, ids.shape[1])
-            _, m_p, logs_p = self.model.encode(params, ids, x_mask)
-            return m_p, logs_p
-
         def dec_chunk_fn(
             params, ids, lengths, durations, rng, noise_scale, sid,
             frame_offset, m_p, logs_p, *, num_frames,
@@ -426,7 +419,6 @@ class VitsSession:
                 dec_fn, static_argnames=("num_frames",), **out_rep
             )
         self._dur_fn = jax.jit(dur_fn, **out_rep)
-        self._enc_fn = jax.jit(enc_fn, **out_rep)
         self._dec_chunk_fn = jax.jit(
             dec_chunk_fn, static_argnames=("num_frames",), **out_rep
         )
@@ -445,8 +437,8 @@ class VitsSession:
                 for f in (
                     self._dur_fn,
                     self._dec_fn,
-                    self._enc_fn,
                     self._dec_chunk_fn,
+                    self._stream_start_fn,
                 )
             )
         )
@@ -1175,11 +1167,16 @@ class VitsSession:
                 np.full((1,), t, np.int32), sharded=False
             )
             sid = self._put(np.zeros((1,), np.int32), sharded=False)
-            durations, _ = self._dur_fn(
-                self.params, ids, lengths, rng,
-                jnp.float32(1.0), jnp.float32(0.8), sid,
+            # the fused stream-start supplies durations + encoder
+            # stats (and is itself the executable the b=1 streaming
+            # path dispatches first)
+            durations, _totals, m_p, logs_p, _a0 = (
+                self._stream_start_fn(
+                    self.params, ids, lengths, rng, jnp.float32(1.0),
+                    jnp.float32(0.8), jnp.float32(0.667), sid,
+                    num_frames=min(chunk_windows),
+                )
             )
-            m_p, logs_p = self._enc_fn(self.params, ids, lengths)
             for w in chunk_windows:
                 self._dec_chunk_fn(
                     self.params, ids, lengths, durations, rng,
@@ -1187,7 +1184,7 @@ class VitsSession:
                     m_p, logs_p, num_frames=w,
                 )
                 n_chunk_compiles += 1
-            n_chunk_compiles += 1  # enc_fn
+            n_chunk_compiles += 1  # stream-start (b=1)
         # fused stream-start executables for the batched streaming
         # path: (batch bucket x text bucket) at the FIRST stream window
         # (continuation windows are the b=1 chunk executables above)
@@ -1210,7 +1207,11 @@ class VitsSession:
                     b, t, time.perf_counter() - start,
                 )
 
-            stream_combos = [(b, t) for b in batch_sizes for t in tb]
+            # b=1 stream-starts were already compiled by the chunk
+            # loop above (it dispatches the fused call per text bucket)
+            stream_combos = [
+                (b, t) for b in batch_sizes if b != 1 for t in tb
+            ]
             if parallel > 1:
                 from concurrent.futures import ThreadPoolExecutor
 

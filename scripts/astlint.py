@@ -165,10 +165,16 @@ class _Binder(ast.NodeVisitor):
         self._exit()
 
     def _visit_comp(self, node):
+        # CPython evaluates the FIRST generator's iterable in the
+        # ENCLOSING scope (e.g. a class-body comprehension may iterate
+        # a class attribute); later iterables run inside the
+        # comprehension scope
+        self.visit(node.generators[0].iter)
         self._enter(node, "comprehension")
-        for gen in node.generators:
+        for i, gen in enumerate(node.generators):
             self.visit(gen.target)
-            self.visit(gen.iter)
+            if i > 0:
+                self.visit(gen.iter)
             for cond in gen.ifs:
                 self.visit(cond)
         if isinstance(node, ast.DictComp):
@@ -298,10 +304,15 @@ class _Checker(ast.NodeVisitor):
         )
 
     def _visit_comp(self, node):
+        # first iterable: evaluated in the ENCLOSING scope by CPython
+        # (a class-body comprehension may iterate a class attribute)
+        self.visit(node.generators[0].iter)
+
         def body():
-            for gen in node.generators:
+            for i, gen in enumerate(node.generators):
                 self.visit(gen.target)
-                self.visit(gen.iter)
+                if i > 0:
+                    self.visit(gen.iter)
                 for cond in gen.ifs:
                     self.visit(cond)
             if isinstance(node, ast.DictComp):

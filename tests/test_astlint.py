@@ -125,3 +125,27 @@ def test_repo_is_clean():
         ]
     )
     assert not findings, "\n".join(str(f) for f in findings)
+
+
+def test_class_body_comprehension_sees_class_attrs():
+    """CPython evaluates a comprehension's FIRST iterable in the
+    enclosing scope, so a class-body comprehension may iterate a class
+    attribute (legal Python; must not be flagged)."""
+    src = (
+        "class C:\n"
+        "    xs = [1, 2]\n"
+        "    ys = [x + 1 for x in xs]\n"
+    )
+    assert codes(src) == []
+
+
+def test_comprehension_later_iterable_skips_class_scope():
+    """...but LATER iterables evaluate inside the comprehension scope,
+    which (like any nested scope) cannot see class attributes — real
+    CPython raises NameError here, so the linter must flag it."""
+    src = (
+        "class C:\n"
+        "    xs = [1]\n"
+        "    zs = [y for x in xs for y in xs]\n"
+    )
+    assert ("undefined-name", 3) in codes(src)

@@ -101,7 +101,9 @@ def test_batch_invariant_sampling(voice):
         [b, a], noise_scale=0.667, noise_w=0.8, seed=123
     )[1]
     assert len(solo) == len(packed)
-    np.testing.assert_allclose(solo, packed, atol=1)
+    # tight tolerance: the property is bit-level (same noise values),
+    # with only batch-size-dependent XLA reduction order as slack
+    np.testing.assert_allclose(solo, packed, atol=2e-5)
 
 
 def test_rtf_tracked(voice):
@@ -176,9 +178,10 @@ def test_warmup_precompiles_chunk_windows(voice):
     session.warmup(
         text_buckets=(32,), frame_buckets=(64,), chunk_windows=(24, 48)
     )
-    # 1 dur + 1 dec + (enc + 2 chunk windows) + 1 fused stream-start
-    # (batched streaming path) = 6 executables
-    assert session.stats.compile_count - before == 6
+    # 1 dur + 1 dec + 1 fused stream-start (supplies the encoder
+    # stats; there is no separate encoder executable) + 2 chunk
+    # windows = 5 executables
+    assert session.stats.compile_count - before == 5
     # streaming through the warmed path still works
     ids = voice.phonemes_to_ids([list("warm"), list("boot")])
     chunks = list(

@@ -90,6 +90,156 @@ def enable_compilation_cache() -> None:
         _LOGGER.debug("compilation cache unavailable: %s", err)
 
 
+# -- device-call / compile in-flight tracking --------------------------------
+#
+# Operational root cause (round 3, docs/STATUS.md): SIGTERM-ing a process
+# while an XLA compile is in flight wedges this environment's TPU relay
+# for hours.  Every jit dispatch below therefore registers itself here, so
+# (a) the server's SIGTERM handler can DEFER exit until compiles drain,
+# (b) tooling can poll /api/stats for compile-idle before terminating,
+# (c) warmup can be cancelled between executables instead of mid-compile.
+
+_DEVICE_CALLS = 0
+_DEVICE_CALLS_COND = threading.Condition()
+_SHUTDOWN_EVENT = threading.Event()
+
+
+class _device_call:
+    """Marks one device dispatch (possibly an XLA compile) in flight."""
+
+    def __enter__(self) -> "_device_call":
+        global _DEVICE_CALLS
+        with _DEVICE_CALLS_COND:
+            _DEVICE_CALLS += 1
+        return self
+
+    def __exit__(self, *exc) -> None:
+        global _DEVICE_CALLS
+        with _DEVICE_CALLS_COND:
+            _DEVICE_CALLS -= 1
+            if _DEVICE_CALLS == 0:
+                _DEVICE_CALLS_COND.notify_all()
+
+
+def device_calls_in_flight() -> int:
+    """Number of jit dispatches (compiles included) currently running."""
+    with _DEVICE_CALLS_COND:
+        return _DEVICE_CALLS
+
+
+def wait_device_idle(timeout: typing.Optional[float] = None) -> bool:
+    """Block until no device call is in flight; True if idle reached."""
+    deadline = None if timeout is None else time.monotonic() + timeout
+    with _DEVICE_CALLS_COND:
+        while _DEVICE_CALLS > 0:
+            remaining = (
+                None if deadline is None else deadline - time.monotonic()
+            )
+            if remaining is not None and remaining <= 0:
+                return False
+            _DEVICE_CALLS_COND.wait(timeout=remaining)
+    return True
+
+
+def request_graceful_shutdown() -> None:
+    """Ask long device loops (warmup grids) to stop at the next safe
+    point — between executables, never mid-compile."""
+    _SHUTDOWN_EVENT.set()
+
+
+def graceful_shutdown_requested() -> bool:
+    return _SHUTDOWN_EVENT.is_set()
+
+
+def reset_graceful_shutdown() -> None:
+    """Clear the shutdown request (tests / long-lived embedders)."""
+    _SHUTDOWN_EVENT.clear()
+
+
+def install_kill_safe_sigterm() -> None:
+    """SIGTERM defers while an XLA compile/device call is in flight.
+
+    Root cause this guards against (round-3 incident, docs/STATUS.md):
+    dying mid-compile wedges this environment's TPU relay for hours.
+    First SIGTERM: cancel warmup grids at the next executable boundary,
+    wait for in-flight calls to drain, then raise KeyboardInterrupt in
+    the main thread.  Second SIGTERM: force immediate KeyboardInterrupt
+    (operator escape hatch).  Call from the main thread of any
+    device-owning process (server, trainer, bench).
+    """
+    import _thread
+    import signal
+
+    # Delivery acknowledgment for the drain thread below.  CPython race
+    # (reproduced deterministically while developing
+    # tests/test_kill_safety.py): a signal tripped in the window around
+    # entry into a blocking call (time.sleep, lock wait) is NOT
+    # processed until that call returns on its own — blocking calls
+    # only re-check signals on EINTR, and a signal whose C-level
+    # handler already ran won't EINTR the syscall again.  One
+    # pthread_kill is therefore not enough; the drain thread retries
+    # until the Python-level handler actually ran.  Retries are safe:
+    # pending deliveries coalesce at the CPython trip-flag level, and
+    # we stop as soon as the handler acknowledges.
+    sigint_seen = threading.Event()
+
+    def _sigint(signum, frame):
+        sigint_seen.set()
+        raise KeyboardInterrupt  # same semantics as the default handler
+
+    def _sigterm(signum, frame):
+        if graceful_shutdown_requested():
+            raise KeyboardInterrupt  # second SIGTERM: force
+        request_graceful_shutdown()  # cancel any warmup grid
+        if device_calls_in_flight() == 0:
+            raise KeyboardInterrupt
+        _LOGGER.warning(
+            "SIGTERM deferred: %d device call(s)/compile(s) in "
+            "flight; exiting when they drain (SIGTERM again to force)",
+            device_calls_in_flight(),
+        )
+
+        def _exit_when_idle():
+            wait_device_idle(timeout=7200)
+            main = threading.main_thread()
+            sigint_seen.clear()
+            for _ in range(600):  # bounded: ~10 min of retries
+                try:
+                    # pthread_kill targets the main thread directly so
+                    # a blocked syscall gets EINTR; interrupt_main()
+                    # alone only fires at the next bytecode boundary.
+                    signal.pthread_kill(main.ident, signal.SIGINT)
+                except (ProcessLookupError, ValueError, RuntimeError):
+                    _thread.interrupt_main()
+                    return
+                if sigint_seen.wait(timeout=1.0) or not main.is_alive():
+                    return
+            _thread.interrupt_main()  # last resort
+
+        threading.Thread(target=_exit_when_idle, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _sigterm)
+    signal.signal(signal.SIGINT, _sigint)
+
+
+class _GuardedJit:
+    """Wrap a jit function so every dispatch registers in the
+    device-call tracker (see module docstring above)."""
+
+    def __init__(self, fn: typing.Any):
+        self._fn = fn
+
+    def __call__(self, *args, **kwargs):
+        with _device_call():
+            return self._fn(*args, **kwargs)
+
+    def lower(self, *args, **kwargs):
+        return self._fn.lower(*args, **kwargs)
+
+    def _cache_size(self) -> int:
+        return self._fn._cache_size()
+
+
 @dataclass
 class SessionStats:
     """Rolling synthesis statistics (RTF = infer_sec / audio_sec).
@@ -410,21 +560,21 @@ class VitsSession:
                     noise_scale, sid, noise,
                 )
 
-            self._dec_fn = jax.jit(
+            self._dec_fn = _GuardedJit(jax.jit(
                 dec_fn_sharded, static_argnames=("num_frames",),
                 **out_rep,
-            )
+            ))
         else:
-            self._dec_fn = jax.jit(
+            self._dec_fn = _GuardedJit(jax.jit(
                 dec_fn, static_argnames=("num_frames",), **out_rep
-            )
-        self._dur_fn = jax.jit(dur_fn, **out_rep)
-        self._dec_chunk_fn = jax.jit(
+            ))
+        self._dur_fn = _GuardedJit(jax.jit(dur_fn, **out_rep))
+        self._dec_chunk_fn = _GuardedJit(jax.jit(
             dec_chunk_fn, static_argnames=("num_frames",), **out_rep
-        )
-        self._stream_start_fn = jax.jit(
+        ))
+        self._stream_start_fn = _GuardedJit(jax.jit(
             stream_start_fn, static_argnames=("num_frames",), **out_rep
-        )
+        ))
 
     def jit_executable_count(self) -> int:
         """Total compiled executables across the session's jit entry
@@ -1114,6 +1264,8 @@ class VitsSession:
         done_counter = itertools.count(1)
 
         def warm_bt(b: int, t: int):
+            if _SHUTDOWN_EVENT.is_set():
+                return None  # cancelled between executables
             ids = self._put(np.zeros((b, t), np.int32), sharded=True)
             lengths = self._put(
                 np.full((b,), t, np.int32), sharded=True
@@ -1131,6 +1283,8 @@ class VitsSession:
             return ids, lengths, sid, durations
 
         def warm_dec(args, f):
+            if args is None or _SHUTDOWN_EVENT.is_set():
+                return  # cancelled between executables
             ids, lengths, sid, durations = args
             self._dec_fn(
                 self.params, ids, lengths, durations, rng,
@@ -1162,6 +1316,8 @@ class VitsSession:
         # doesn't pay XLA compilation either
         n_chunk_compiles = 0
         for t in (tb if chunk_windows else ()):
+            if _SHUTDOWN_EVENT.is_set():
+                break
             ids = self._put(np.zeros((1, t), np.int32), sharded=False)
             lengths = self._put(
                 np.full((1,), t, np.int32), sharded=False
@@ -1192,6 +1348,8 @@ class VitsSession:
             w0 = min(chunk_windows)
 
             def warm_stream(b: int, t: int):
+                if _SHUTDOWN_EVENT.is_set():
+                    return
                 ids = self._put(np.zeros((b, t), np.int32), sharded=True)
                 lens = self._put(
                     np.full((b,), t, np.int32), sharded=True
@@ -1231,20 +1389,21 @@ class VitsSession:
         # executes enqueued programs in order, so dispatching one more
         # (already-warmed) duration pass and fetching its tiny totals
         # output forces completion of the entire grid.
-        ids_d = self._put(
-            np.zeros((batch_sizes[0], tb[0]), np.int32), sharded=True
-        )
-        lengths_d = self._put(
-            np.full((batch_sizes[0],), tb[0], np.int32), sharded=True
-        )
-        sid_d = self._put(
-            np.zeros((batch_sizes[0],), np.int32), sharded=True
-        )
-        _, totals_d = self._dur_fn(
-            self.params, ids_d, lengths_d, rng,
-            jnp.float32(1.0), jnp.float32(0.8), sid_d,
-        )
-        np.asarray(totals_d)  # host sync = hard barrier
+        if not _SHUTDOWN_EVENT.is_set():
+            ids_d = self._put(
+                np.zeros((batch_sizes[0], tb[0]), np.int32), sharded=True
+            )
+            lengths_d = self._put(
+                np.full((batch_sizes[0],), tb[0], np.int32), sharded=True
+            )
+            sid_d = self._put(
+                np.zeros((batch_sizes[0],), np.int32), sharded=True
+            )
+            _, totals_d = self._dur_fn(
+                self.params, ids_d, lengths_d, rng,
+                jnp.float32(1.0), jnp.float32(0.8), sid_d,
+            )
+            np.asarray(totals_d)  # host sync = hard barrier
         elapsed = time.perf_counter() - start
         self.stats.compile_count += (
             len(tb) * (len(fb) + 1) * len(batch_sizes)

@@ -205,23 +205,43 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
 
     config = config_from_args(args)
     app = TtsApp(config)
-    app.preload()
-    server = build_server(app)
 
     # systemd/docker stop via SIGTERM must unwind like Ctrl-C so the
-    # finally-block cleanup (scheduler, auto-created cache dir) runs
-    import signal
+    # finally-block cleanup (scheduler, auto-created cache dir) runs.
+    #
+    # Kill safety: on this project's TPU environment, dying while an XLA
+    # compile is in flight wedges the device relay for hours (round-3
+    # incident, docs/STATUS.md).  SIGTERM therefore DEFERS while device
+    # calls are in flight: warmup is cancelled at the next executable
+    # boundary, in-flight compiles finish, then the process unwinds.  A
+    # second SIGTERM forces immediate exit (operator escape hatch).
+    from ..runtime.session import (
+        graceful_shutdown_requested,
+        install_kill_safe_sigterm,
+        wait_device_idle,
+    )
 
-    def _sigterm(signum, frame):
-        raise KeyboardInterrupt
-
-    signal.signal(signal.SIGTERM, _sigterm)
+    # installed BEFORE preload: the warmup grid is exactly where a
+    # mid-compile SIGTERM used to land (it runs for minutes-to-hours on
+    # a cold cache)
+    install_kill_safe_sigterm()
     try:
+        app.preload()
+        if graceful_shutdown_requested():
+            return 0  # SIGTERM arrived during warmup
+        server = build_server(app)
         asyncio.run(server.serve(config.host, config.port))
     except KeyboardInterrupt:
         pass
     finally:
         app.shutdown()
+        # never exit with a compile still running on a daemon thread
+        # (e.g. the scheduler hit a cold bucket): same relay-wedge risk
+        if not wait_device_idle(timeout=1800):
+            _LOGGER.error(
+                "exiting with device calls still in flight after "
+                "1800s — possible TPU relay hang"
+            )
     return 0
 
 

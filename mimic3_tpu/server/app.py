@@ -602,11 +602,23 @@ def build_server(app: TtsApp) -> HttpServer:
                 # path never paid an XLA compile
                 "jit_executables": session.jit_executable_count(),
             }
+        from ..runtime.session import (
+            device_calls_in_flight,
+            graceful_shutdown_requested,
+        )
+
         payload = {
             "scheduler": {
                 "batches": app.scheduler.stats.batches,
                 "items": app.scheduler.stats.items,
                 "mean_batch_size": app.scheduler.stats.mean_batch_size,
+            },
+            # tooling polls this before terminating the server: killing
+            # a process mid-XLA-compile wedges the TPU relay (round-3
+            # incident) — terminate only at calls_in_flight == 0
+            "device": {
+                "calls_in_flight": device_calls_in_flight(),
+                "draining": graceful_shutdown_requested(),
             },
             "voices": sessions,
         }

@@ -212,9 +212,54 @@ def main() -> int:
             )
             return 1
     finally:
-        server.terminate()
-        server.wait(timeout=30)
+        _graceful_stop(server)
     return 0
+
+
+def _graceful_stop(server: subprocess.Popen) -> None:
+    """Stop the server without ever killing it mid-XLA-compile.
+
+    Round-3 incident: an unconditional ``server.terminate()`` here fired
+    while the warmup compile storm was in flight and wedged the TPU
+    relay for the rest of the round (docs/STATUS.md).  Now: (1) poll
+    /api/stats until no device call is in flight, (2) SIGTERM — which
+    the server itself also defers while compiles run, (3) escalate to
+    SIGKILL only after a long grace period.
+    """
+    deadline = time.time() + 1200
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                f"{BASE}/api/stats", timeout=10
+            ) as r:
+                stats = json.loads(r.read())
+            in_flight = stats.get("device", {}).get("calls_in_flight", 0)
+            if in_flight == 0:
+                break
+            print(
+                f"drain: {in_flight} device call(s) in flight...",
+                flush=True,
+            )
+        except Exception:
+            # server not serving yet (warmup) or already gone; the
+            # server-side SIGTERM deferral covers the warmup window
+            break
+        time.sleep(5)
+    server.terminate()
+    try:
+        server.wait(timeout=120)
+        return
+    except subprocess.TimeoutExpired:
+        pass
+    # server is deferring SIGTERM (compile in flight): wait it out
+    print("server deferring SIGTERM; waiting for compile drain",
+          flush=True)
+    try:
+        server.wait(timeout=3600)
+    except subprocess.TimeoutExpired:
+        print("escalating to SIGKILL after 1h grace", flush=True)
+        server.kill()
+        server.wait(timeout=30)
 
 
 if __name__ == "__main__":

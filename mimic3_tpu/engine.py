@@ -405,7 +405,23 @@ class Mimic3TextToSpeechSystem(TextToSpeechSystem):
 
     def end_utterance(self) -> typing.Iterable[BaseResult]:
         """Coalesce queued chunks into synthesized sentences
-        (reference algorithm: mimic3_tts/tts.py:470-515)."""
+        (reference algorithm: mimic3_tts/tts.py:470-515).
+
+        Deliberate divergence from the reference: at an utterance
+        boundary the reference synthesizes the sentence with the
+        STALE ``last_settings`` — the settings captured with the
+        *previous* chunk (``tts.py:489-495`` passes ``last_settings``,
+        which is only updated after the item is processed; for the
+        first sentence it is ``None`` and falls back to the engine's
+        live settings at ``end_utterance`` time, ``tts.py:525``).  So
+        in the reference, changing e.g. ``rate`` between two
+        ``speak_text`` calls does not affect the next sentence — only
+        the one after it.  Here each sentence is synthesized with the
+        settings snapshot captured when its text was queued
+        (``item.settings``), which is what the settings-change flush
+        above exists to support.  Pinned by
+        ``tests/test_engine.py::test_settings_snapshot_per_sentence``.
+        """
         last_settings: typing.Optional[Mimic3Settings] = None
         sent_phonemes: PHONEMES_LIST = []
 

@@ -130,6 +130,35 @@ def test_settings_change_flushes(tts):
     assert len(audio) == 2
 
 
+def test_settings_snapshot_per_sentence(tts):
+    """Each sentence is synthesized with the settings captured when its
+    text was queued — a deliberate divergence from the reference, which
+    passes the STALE previous chunk's settings at an utterance boundary
+    (reference: mimic3_tts/tts.py:489-495, fallback :525).  See the
+    ``end_utterance`` docstring."""
+    used = []
+    orig = tts._synthesize
+
+    def spy(phonemes, settings):
+        used.append(settings)
+        return orig(phonemes, settings)
+
+    tts._synthesize = spy
+    tts.rate = 1.0
+    tts.speak_text("first part")
+    tts.rate = 2.0
+    tts.speak_text("second part")
+    list(tts.end_utterance())
+    assert [s.rate for s in used] == [1.0, 2.0]
+    # and the snapshot is taken at queue time, not end_utterance time:
+    tts.rate = 0.5
+    tts.speak_text("third part")
+    tts.rate = 3.0
+    used.clear()
+    list(tts.end_utterance())
+    assert [s.rate for s in used] == [0.5]
+
+
 def test_deterministic_synthesis(voices_root):
     def synth():
         tts = Mimic3TextToSpeechSystem(

@@ -385,6 +385,14 @@ class TpuConfig:
     buckets are rounded up to multiples of dp (the batch dimension is
     sharded across data-parallel devices)."""
 
+    batched_continuations: bool = True
+    """Streams that started in one fused batched call also decode their
+    CONTINUATION windows as one batched device call per window (a
+    demand-paced driver thread), instead of batch-1 calls per stream —
+    under sustained concurrent streaming the continuations otherwise
+    serialize on the device.  Audio is bit-identical either way (prior
+    noise is frame-indexed and shared across batch rows)."""
+
 
 @dataclass
 class TrainingConfig:

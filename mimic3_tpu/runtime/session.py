@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import bisect
 import logging
+import queue
 import threading
 import time
 import typing
@@ -310,6 +311,185 @@ class _LazyHostRows:
             return self._np
 
 
+class _ContinuationDriver:
+    """Batched continuation decode for one fused stream start.
+
+    Streams that started together in :meth:`VitsSession.stream_start_batch`
+    share a chunk grid, rng, and padded device arrays — so their
+    continuation windows can run as ONE batched device call per window
+    instead of a batch-1 call per stream (which serialize on the device
+    under sustained concurrent streaming).  A daemon thread decodes
+    window k for the whole padded batch, slices each row's valid frames
+    to its queue, and is DEMAND-PACED: it stays at most ``PREFETCH``
+    windows ahead of the fastest still-consuming row, so an idle group
+    stops occupying the device.  Audio is bit-identical to the batch-1
+    path (prior noise is frame-indexed and shared across batch rows —
+    models/vits/model.py frame-indexed noise docstring).
+    """
+
+    PREFETCH = 2
+    # no live row advanced while production was blocked for this long:
+    # every consumer is gone or wedged — fail their queues and release
+    # the device arrays instead of leaking the thread forever
+    STALL_TIMEOUT = 600.0
+
+    def __init__(
+        self,
+        session: "VitsSession",
+        dev_args: typing.Tuple,
+        rng: typing.Any,
+        noise_scale: float,
+        totals: typing.Sequence[int],
+        first_cf: int,
+        chunk_frames: int,
+        overlap: int,
+    ):
+        self._session = session
+        self._dev_args = dev_args  # ids, lengths, sid, durations, m_p, logs_p
+        self._rng = rng
+        self._noise_scale = noise_scale
+        self._totals = [int(t) for t in totals]
+        self._batch = len(self._totals)
+        self._first_cf = first_cf
+        self._chunk_frames = chunk_frames
+        self._overlap = overlap
+        self._queues: typing.List[queue.SimpleQueue] = [
+            queue.SimpleQueue() for _ in range(self._batch)
+        ]
+        # consumed[i]: highest window index row i's consumer has pulled
+        # (0 = only the fused first chunk); alive[i] goes False when the
+        # row's generator finishes or is closed (client disconnect)
+        self._consumed = [0] * self._batch
+        self._alive = [True] * self._batch
+        self._cond = threading.Condition()
+        self.windows_produced = 0  # introspection for tests
+        threading.Thread(
+            target=self._run, daemon=True, name="tts-continuation-driver"
+        ).start()
+
+    # -- producer --------------------------------------------------------------
+
+    def _may_produce(self, k: int) -> typing.Optional[bool]:
+        """True = produce window k now; False = wait; None = abort."""
+        live = [
+            self._consumed[i]
+            for i in range(self._batch)
+            if self._alive[i]
+        ]
+        if not live:
+            return None
+        return k <= max(live) + self.PREFETCH
+
+    def _run(self) -> None:
+        import jax.numpy as jnp
+
+        session = self._session
+        hop = session.model.hp.hop_length
+        cf = self._chunk_frames
+        ids, lengths, sid, durations, m_p, logs_p = self._dev_args
+        try:
+            start = self._first_cf
+            k = 1
+            while True:
+                rows = [
+                    i
+                    for i in range(self._batch)
+                    if start < self._totals[i]
+                ]
+                if not rows:
+                    return
+                deadline = time.monotonic() + self.STALL_TIMEOUT
+                with self._cond:
+                    while True:
+                        state = self._may_produce(k)
+                        if state is None:
+                            return  # every consumer is gone
+                        if state:
+                            break
+                        if graceful_shutdown_requested():
+                            raise RuntimeError(
+                                "continuation decode cancelled: "
+                                "shutdown requested"
+                            )
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            raise RuntimeError(
+                                "continuation consumers stalled for "
+                                f"{self.STALL_TIMEOUT:.0f}s"
+                            )
+                        self._cond.wait(timeout=min(remaining, 5.0))
+                left = min(self._overlap, start)
+                audio, _ = session._dec_chunk_fn(
+                    session.params,
+                    ids,
+                    lengths,
+                    durations,
+                    self._rng,
+                    jnp.float32(self._noise_scale),
+                    sid,
+                    jnp.int32(start - left),
+                    m_p,
+                    logs_p,
+                    num_frames=cf + 2 * self._overlap,
+                )
+                audio_np = np.asarray(audio)  # one D2H for the batch
+                self.windows_produced += 1
+                for i in rows:
+                    valid = min(cf, self._totals[i] - start)
+                    self._queues[i].put(
+                        np.asarray(
+                            audio_np[i, left * hop : (left + valid) * hop],
+                            dtype=np.float32,
+                        )
+                    )
+                start += cf
+                k += 1
+        except BaseException as err:  # noqa: BLE001 — forwarded to rows
+            for q in self._queues:
+                q.put(err)
+        finally:
+            self._dev_args = None  # release device arrays promptly
+
+    # -- consumers -------------------------------------------------------------
+
+    def row(
+        self, i: int, first_chunk: np.ndarray
+    ) -> typing.Iterator[np.ndarray]:
+        """Yield row ``i``'s chunks (first one from the fused start)."""
+        session = self._session
+        hop = session.model.hp.hop_length
+        sample_rate = session.config.audio.sample_rate
+        t0 = time.perf_counter()
+        emitted = 0
+        try:
+            total = self._totals[i]
+            valid0 = min(self._first_cf, total)
+            yield np.asarray(
+                first_chunk[: valid0 * hop], dtype=np.float32
+            )
+            emitted += valid0
+            start = self._first_cf
+            k = 1
+            while start < total:
+                item = self._queues[i].get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+                emitted += min(self._chunk_frames, total - start)
+                start += self._chunk_frames
+                with self._cond:
+                    self._consumed[i] = k
+                    self._cond.notify_all()
+                k += 1
+        finally:
+            with self._cond:
+                self._alive[i] = False
+                self._cond.notify_all()
+            session.stats.record(
+                time.perf_counter() - t0, emitted * hop / sample_rate
+            )
+
+
 def pick_bucket(
     n: int, buckets: typing.Sequence[int], grow: bool = False
 ) -> int:
@@ -457,6 +637,9 @@ class VitsSession:
         # unit length_scale, None until the first observation
         self.speculative_decode = bool(
             getattr(config.tpu, "speculative_decode", True)
+        )
+        self.batched_continuations = bool(
+            getattr(config.tpu, "batched_continuations", True)
         )
         self._ema_frames_per_phoneme: typing.Optional[float] = None
 
@@ -1072,6 +1255,32 @@ class VitsSession:
 
         if not self.allow_bucket_growth:
             max_frames_cap = min(max_frames_cap, self.frame_buckets[-1])
+
+        if (
+            self.batched_continuations
+            and batch >= 2
+            and not any(int(t) > max_frames_cap for t in totals_np[:batch])
+            and int(totals_np[:batch].max()) > first_cf
+        ):
+            # continuation windows decode as ONE batched call per
+            # window for the whole group (demand-paced driver thread);
+            # bit-identical to the per-row path below.  Truncated rows
+            # (total > cap) keep the per-row path: their durations are
+            # re-capped per row.
+            driver = _ContinuationDriver(
+                self,
+                (ids_j, lengths_j, sid_j, durations, m_p, logs_p),
+                rng,
+                noise_scale,
+                [int(t) for t in totals_np[:batch]],
+                first_cf,
+                chunk_frames,
+                overlap,
+            )
+            return [
+                driver.row(i, audio0_np[i]) for i in range(batch)
+            ]
+
         shared = _LazyHostRows(durations, m_p, logs_p)
         return [
             self._stream_row(
@@ -1346,6 +1555,10 @@ class VitsSession:
         # (continuation windows are the b=1 chunk executables above)
         if chunk_windows:
             w0 = min(chunk_windows)
+            # the batched continuation driver decodes every follow-up
+            # window at the group's (batch, text) bucket with the
+            # LARGEST chunk window (chunk_frames + 2*overlap)
+            w_cont = max(chunk_windows)
 
             def warm_stream(b: int, t: int):
                 if _SHUTDOWN_EVENT.is_set():
@@ -1355,11 +1568,21 @@ class VitsSession:
                     np.full((b,), t, np.int32), sharded=True
                 )
                 s = self._put(np.zeros((b,), np.int32), sharded=True)
-                self._stream_start_fn(
-                    self.params, ids, lens, rng, jnp.float32(1.0),
-                    jnp.float32(0.8), jnp.float32(0.667), s,
-                    num_frames=w0,
+                durations, _totals, m_p, logs_p, _a0 = (
+                    self._stream_start_fn(
+                        self.params, ids, lens, rng, jnp.float32(1.0),
+                        jnp.float32(0.8), jnp.float32(0.667), s,
+                        num_frames=w0,
+                    )
                 )
+                if self.batched_continuations and w_cont != w0:
+                    if _SHUTDOWN_EVENT.is_set():
+                        return
+                    self._dec_chunk_fn(
+                        self.params, ids, lens, durations, rng,
+                        jnp.float32(0.667), s, jnp.int32(0),
+                        m_p, logs_p, num_frames=w_cont,
+                    )
                 _LOGGER.info(
                     "warmup stream-start b=%d t=%d (%.0fs)",
                     b, t, time.perf_counter() - start,
@@ -1380,7 +1603,9 @@ class VitsSession:
             else:
                 for c in stream_combos:
                     warm_stream(*c)
-            n_chunk_compiles += len(stream_combos)
+            n_chunk_compiles += len(stream_combos) * (
+                2 if self.batched_continuations and w_cont != w0 else 1
+            )
         # Drain barrier: everything above only DISPATCHES device work —
         # executable loads and executions queue on the device and, on a
         # network-attached TPU, block_until_ready is unreliable, so the

@@ -41,6 +41,38 @@ def _jax():
 _CACHE_ENABLED = False
 
 
+def resolve_compile_cache_dir(
+    environ: typing.Optional[typing.Mapping[str, str]] = None,
+) -> str:
+    """Pick the persistent compile-cache directory.
+
+    Precedence: $MIMIC3_COMPILE_CACHE, then a repo-local ``.xla_cache/``
+    when running from a development checkout, then XDG.  The repo-local
+    preference exists because working trees routinely outlive the
+    machine image they run on (CI runners, rebuilt dev VMs) — a cache
+    that dies with $HOME turns every fresh environment into a full cold
+    start (observed: ~150-executable serving grid through a remote
+    compile service).
+    """
+    import os
+    from pathlib import Path
+
+    env = os.environ if environ is None else environ
+    cache_dir = env.get("MIMIC3_COMPILE_CACHE")
+    if cache_dir:
+        return cache_dir
+    repo_root = Path(__file__).resolve().parents[2]
+    if (repo_root / ".git").exists() and (
+        repo_root / "bench.py"
+    ).is_file():
+        return str(repo_root / ".xla_cache")
+    return str(
+        Path(env.get("XDG_CACHE_HOME") or str(Path.home() / ".cache"))
+        / "mimic3_tpu"
+        / "xla"
+    )
+
+
 def enable_compilation_cache() -> None:
     """Persist compiled XLA executables across processes.
 
@@ -53,7 +85,6 @@ def enable_compilation_cache() -> None:
     if _CACHE_ENABLED:
         return
     _CACHE_ENABLED = True
-    import os
     from pathlib import Path
 
     jax = _jax()
@@ -63,18 +94,7 @@ def enable_compilation_cache() -> None:
         # on this host. Only accelerator executables are cached.
         _LOGGER.debug("compilation cache skipped on CPU backend")
         return
-    cache_dir = os.environ.get(
-        "MIMIC3_COMPILE_CACHE",
-        str(
-            Path(
-                os.environ.get(
-                    "XDG_CACHE_HOME", str(Path.home() / ".cache")
-                )
-            )
-            / "mimic3_tpu"
-            / "xla"
-        ),
-    )
+    cache_dir = resolve_compile_cache_dir()
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -180,7 +180,27 @@ def main() -> int:
     parser.add_argument("--threshold", type=float, default=0.95)
     parser.add_argument("--keep", action="store_true")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument(
+        "--decoder",
+        choices=("hifigan", "mb-istft"),
+        default="hifigan",
+        help="student decoder family; mb-istft proves the fast-decoder "
+        "extension through the same train->export->serve round trip",
+    )
+    parser.add_argument(
+        "--eval-at",
+        default=None,
+        help="comma-separated step milestones (e.g. 1000,3000,6000): "
+        "train to each via checkpoint resume, export, and evaluate "
+        "held-out fidelity — produces the fidelity-vs-steps curve in "
+        "one run with a warm compile cache",
+    )
     args = parser.parse_args()
+    milestones = (
+        sorted(int(s) for s in args.eval_at.split(","))
+        if args.eval_at
+        else [args.steps]
+    )
 
     from mimic3_tpu.runtime.session import enable_compilation_cache
     from mimic3_tpu.runtime.testvoice import create_test_voice
@@ -221,43 +241,67 @@ def main() -> int:
     shutil.rmtree(student_dir, ignore_errors=True)  # fresh on rerun
     skel = root / "skel"
     if not (skel / "config.json").is_file():
-        create_test_voice(skel, full_size=False, seed=1)
+        create_test_voice(
+            skel, full_size=False, seed=1, decoder_type=args.decoder
+        )
     student_dir.mkdir(parents=True)
     for name in ("config.json", "phonemes.txt"):
         shutil.copy(skel / name, student_dir / name)
 
     from mimic3_tpu.train_cli import main as train_main
 
-    t0 = time.perf_counter()
-    rc = train_main(
-        [
-            str(student_dir),
-            "--metadata", str(root / "metadata.csv"),
-            "--audio-dir", str(audio_dir),
-            "--batch-size", str(args.batch),
-            "--steps", str(args.steps),
-            "--checkpoint-every", str(max(500, args.steps // 4)),
-            "--log-every", "100",
-            "--seed", "7",
-            "--export",
-        ]
-    )
-    print(
-        f"train rc={rc} in {time.perf_counter() - t0:.0f}s", flush=True
-    )
-    if rc != 0:
-        return rc
-    assert (student_dir / "generator.npz").is_file()
+    # train to each milestone (checkpoint resume between segments),
+    # export, and evaluate held-out fidelity: the fidelity-vs-steps
+    # curve from one process, warm compile cache throughout
+    curve = []
+    correlations: list = []
+    trained = 0
+    for milestone in milestones:
+        segment = milestone - trained
+        if segment <= 0:
+            continue
+        t0 = time.perf_counter()
+        rc = train_main(
+            [
+                str(student_dir),
+                "--metadata", str(root / "metadata.csv"),
+                "--audio-dir", str(audio_dir),
+                "--batch-size", str(args.batch),
+                "--steps", str(segment),
+                "--checkpoint-every", str(min(1000, segment)),
+                "--log-every", "100",
+                "--seed", "7",
+                "--resume",
+                "--export",
+            ]
+        )
+        print(
+            f"train to {milestone} rc={rc} "
+            f"(+{segment} steps in {time.perf_counter() - t0:.0f}s)",
+            flush=True,
+        )
+        if rc != 0:
+            return rc
+        trained = milestone
+        assert (student_dir / "generator.npz").is_file()
 
-    # 4. held-out fidelity: student (through the REAL CLI) vs the
-    #    rule-based teacher, on sentences the student never saw
-    correlations = []
-    for text in heldout_texts:
-        t_audio = tone_teacher(text)
-        s_audio, _ = synth_cli(voices, "en_US/student_low", text)
-        c = mel_correlation(t_audio, s_audio)
-        correlations.append(c)
-        print(f"  corr={c:.4f}  '{text}'", flush=True)
+        # held-out fidelity at this milestone: student (through the
+        # REAL CLI) vs the rule-based teacher, on unseen sentences
+        correlations = []
+        for text in heldout_texts:
+            t_audio = tone_teacher(text)
+            s_audio, _ = synth_cli(voices, "en_US/student_low", text)
+            c = mel_correlation(t_audio, s_audio)
+            correlations.append(c)
+            print(f"  corr={c:.4f}  '{text}'", flush=True)
+        curve.append(
+            {
+                "steps": milestone,
+                "mean_corr": round(float(np.mean(correlations)), 4),
+                "min_corr": round(float(np.min(correlations)), 4),
+            }
+        )
+        print(f"curve point: {curve[-1]}", flush=True)
 
     # 5. deterministic double-run through the CLI (golden-hash property)
     _, wav1 = synth_cli(voices, "en_US/student_low", heldout_texts[0])
@@ -283,9 +327,11 @@ def main() -> int:
     )
 
     result = {
-        "steps": args.steps,
+        "steps": trained,
+        "decoder": args.decoder,
         "mean_corr": round(float(np.mean(correlations)), 4),
         "min_corr": round(float(np.min(correlations)), 4),
+        "curve": curve,
         "baseline_cross_corr": round(baseline, 4),
         "threshold": args.threshold,
         "passed": bool(

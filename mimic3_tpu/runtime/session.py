@@ -276,9 +276,25 @@ class SessionStats:
     last_rtf: float = 0.0
     rtf_history: typing.List[float] = field(default_factory=list)
     latency_history: typing.List[float] = field(default_factory=list)
+    executable_hits: typing.Dict[str, int] = field(default_factory=dict)
     _lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
     )
+
+    def record_hit(self, key: str) -> None:
+        """Count a dispatch of one compiled executable signature.
+
+        Keys come from :func:`hit_key`.  /api/stats exposes the table so
+        a deployment can save its real traffic profile and restart with
+        ``--warmup-profile``, warming only the executables its requests
+        actually dispatch instead of the full bucket grid (the grid is
+        ~175 executables; a single-voice deployment typically hits a
+        dozen).
+        """
+        with self._lock:
+            self.executable_hits[key] = (
+                self.executable_hits.get(key, 0) + 1
+            )
 
     def record(self, infer_sec: float, audio_sec: float) -> None:
         with self._lock:
@@ -309,6 +325,19 @@ class SessionStats:
             len(ordered) - 1, int(pct / 100.0 * len(ordered))
         )
         return ordered[idx]
+
+
+def hit_key(
+    kind: str, b: int, t: int, f: typing.Optional[int] = None
+) -> str:
+    """Stable name of one compiled executable signature.
+
+    (kind, batch bucket, text bucket[, frame/window bucket]) — exactly
+    the static-shape tuple XLA specializes on, so one key == one
+    executable.  Used by SessionStats.record_hit and warmup profiles.
+    """
+    key = f"{kind}:b{int(b)}:t{int(t)}"
+    return key if f is None else f"{key}:f{int(f)}"
 
 
 class _LazyHostRows:
@@ -439,6 +468,14 @@ class _ContinuationDriver:
                             )
                         self._cond.wait(timeout=min(remaining, 5.0))
                 left = min(self._overlap, start)
+                session.stats.record_hit(
+                    hit_key(
+                        "chunk",
+                        ids.shape[0],
+                        ids.shape[1],
+                        cf + 2 * self._overlap,
+                    )
+                )
                 audio, _ = session._dec_chunk_fn(
                     session.params,
                     ids,
@@ -662,6 +699,14 @@ class VitsSession:
             getattr(config.tpu, "batched_continuations", True)
         )
         self._ema_frames_per_phoneme: typing.Optional[float] = None
+        # decode signatures known to be compiled (warmup + past
+        # dispatches).  Speculation exists to hide a host round trip
+        # (~ms); speculating into an uncompiled signature pays an XLA
+        # compile (~tens of seconds here) ON the request path — a
+        # strict loss, and the one way a profiled warmup could still
+        # see hot-path compiles.  Mandatory (fallback) decodes are
+        # unrestricted: their first dispatch compiles by necessity.
+        self._compiled_decode_keys: typing.Set[str] = set()
 
         multispeaker = config.model.is_multispeaker
 
@@ -946,6 +991,7 @@ class VitsSession:
         lengths_j = self._put(lengths, sharded=True)
         sid_j = self._put(sid, sharded=True)
 
+        self.stats.record_hit(hit_key("duration", b_bucket, t_bucket))
         durations, totals = self._dur_fn(
             self.params,
             ids_j,
@@ -980,16 +1026,28 @@ class VitsSession:
                 min(int(est) + 1, self.frame_buckets[-1]),
                 self.frame_buckets,
             )
-            spec_result = self._dec_fn(
-                self.params,
-                ids_j,
-                lengths_j,
-                durations,
-                rng,
-                jnp.float32(noise_scale),
-                sid_j,
-                num_frames=spec_bucket,
+            spec_key = hit_key(
+                "decode", b_bucket, t_bucket, spec_bucket
             )
+            with self._lock:
+                spec_compiled = spec_key in self._compiled_decode_keys
+            if not spec_compiled:
+                # speculating into an uncompiled signature would put
+                # an XLA compile on the request path to save a ~ms
+                # host round trip — strictly worse; skip
+                spec_bucket = None
+            else:
+                self.stats.record_hit(spec_key)
+                spec_result = self._dec_fn(
+                    self.params,
+                    ids_j,
+                    lengths_j,
+                    durations,
+                    rng,
+                    jnp.float32(noise_scale),
+                    sid_j,
+                    num_frames=spec_bucket,
+                )
 
         totals_np = np.asarray(totals)  # host sync (tiny transfer)
         needed = int(totals_np[:batch].max())
@@ -1035,6 +1093,9 @@ class VitsSession:
             audio, sample_lengths = spec_result  # prediction held
             f_bucket = spec_bucket
         else:
+            self.stats.record_hit(
+                hit_key("decode", b_bucket, t_bucket, f_bucket)
+            )
             audio, sample_lengths = self._dec_fn(
                 self.params,
                 ids_j,
@@ -1045,6 +1106,10 @@ class VitsSession:
                 sid_j,
                 num_frames=f_bucket,
             )
+            with self._lock:
+                self._compiled_decode_keys.add(
+                    hit_key("decode", b_bucket, t_bucket, f_bucket)
+                )
         audio_np = np.asarray(audio, dtype=np.float32)
         sample_lengths_np = np.asarray(sample_lengths)
 
@@ -1259,6 +1324,9 @@ class VitsSession:
         lengths_j = self._put(lengths, sharded=True)
         sid_j = self._put(sid, sharded=True)
 
+        self.stats.record_hit(
+            hit_key("stream_start", b_bucket, t_bucket, window0)
+        )
         durations, totals, m_p, logs_p, audio0 = self._stream_start_fn(
             self.params,
             ids_j,
@@ -1416,6 +1484,11 @@ class VitsSession:
                 # (truncation invalidates the batched first window:
                 # its durations predate the cap)
                 i_j, l_j, s_j, d_j, m_j, lg_j = row_arrays()
+                self.stats.record_hit(
+                    hit_key(
+                        "chunk", i_j.shape[0], i_j.shape[1], window
+                    )
+                )
                 audio, _ = self._dec_chunk_fn(
                     self.params,
                     i_j,
@@ -1451,6 +1524,7 @@ class VitsSession:
         batch_sizes: typing.Optional[typing.Sequence[int]] = None,
         chunk_windows: typing.Sequence[int] = (),
         parallel: int = 4,
+        profile: typing.Optional[typing.Collection[str]] = None,
     ) -> float:
         """Pre-compile executables for the given bucket grid.
 
@@ -1465,12 +1539,24 @@ class VitsSession:
         remote-compile environment the grid is large (~150+
         executables) and compile latency dominates, so overlap is the
         difference between minutes and hours of startup.
+
+        ``profile`` prunes the grid to a measured traffic profile: a
+        collection of :func:`hit_key` strings (the ``executable_hits``
+        table a previous run exposed via /api/stats).  Only executables
+        named in the profile — plus their dispatch dependencies (a
+        wanted decode needs its duration pass) — are compiled.  A
+        single-voice deployment typically dispatches a dozen signatures
+        out of the ~175-executable full grid.
         """
         import jax.numpy as jnp
 
         start = time.perf_counter()
         tb = tuple(text_buckets or self.text_buckets)
         fb = tuple(frame_buckets or self.frame_buckets)
+        profile_set = None if profile is None else frozenset(profile)
+
+        def _want(key: str) -> bool:
+            return profile_set is None or key in profile_set
         if batch_sizes is None:
             # smallest batch bucket only (dp on a mesh); serving warms
             # its full bucket ladder explicitly (server/app.py preload)
@@ -1488,8 +1574,20 @@ class VitsSession:
         # indistinguishable from a hang (observed operationally)
         import itertools
 
-        combos = [(b, t) for b in batch_sizes for t in tb]
-        n_total = len(combos) * (1 + len(fb))
+        def combo_fbs(b: int, t: int) -> typing.Tuple[int, ...]:
+            return tuple(
+                f for f in fb if _want(hit_key("decode", b, t, f))
+            )
+
+        combos = [
+            (b, t)
+            for b in batch_sizes
+            for t in tb
+            if _want(hit_key("duration", b, t)) or combo_fbs(b, t)
+        ]
+        n_total = len(combos) + sum(
+            len(combo_fbs(b, t)) for b, t in combos
+        )
         done_counter = itertools.count(1)
 
         def warm_bt(b: int, t: int):
@@ -1519,6 +1617,12 @@ class VitsSession:
                 self.params, ids, lengths, durations, rng,
                 jnp.float32(0.667), sid, num_frames=f,
             )
+            with self._lock:
+                self._compiled_decode_keys.add(
+                    hit_key(
+                        "decode", ids.shape[0], ids.shape[1], f
+                    )
+                )
             _LOGGER.info(
                 "warmup %d/%d: decode b=%d f=%d (%.0fs)",
                 next(done_counter), n_total,
@@ -1532,13 +1636,17 @@ class VitsSession:
                 list(
                     pool.map(
                         lambda af: warm_dec(*af),
-                        [(a, f) for a in bt_args for f in fb],
+                        [
+                            (a, f)
+                            for c, a in zip(combos, bt_args)
+                            for f in combo_fbs(*c)
+                        ],
                     )
                 )
         else:
             for c in combos:
                 a = warm_bt(*c)
-                for f in fb:
+                for f in combo_fbs(*c):
                     warm_dec(a, f)
         # streaming executables (batch 1): encoder pass + one chunked
         # decode per window size, so the first low-latency request
@@ -1547,6 +1655,16 @@ class VitsSession:
         for t in (tb if chunk_windows else ()):
             if _SHUTDOWN_EVENT.is_set():
                 break
+            w0_b1 = min(chunk_windows)
+            wanted_ws = [
+                w
+                for w in chunk_windows
+                if _want(hit_key("chunk", 1, t, w))
+            ]
+            if not wanted_ws and not _want(
+                hit_key("stream_start", 1, t, w0_b1)
+            ):
+                continue
             ids = self._put(np.zeros((1, t), np.int32), sharded=False)
             lengths = self._put(
                 np.full((1,), t, np.int32), sharded=False
@@ -1562,7 +1680,7 @@ class VitsSession:
                     num_frames=min(chunk_windows),
                 )
             )
-            for w in chunk_windows:
+            for w in wanted_ws:
                 self._dec_chunk_fn(
                     self.params, ids, lengths, durations, rng,
                     jnp.float32(0.667), sid, jnp.int32(0),
@@ -1595,7 +1713,11 @@ class VitsSession:
                         num_frames=w0,
                     )
                 )
-                if self.batched_continuations and w_cont != w0:
+                if (
+                    self.batched_continuations
+                    and w_cont != w0
+                    and _want(hit_key("chunk", b, t, w_cont))
+                ):
                     if _SHUTDOWN_EVENT.is_set():
                         return
                     self._dec_chunk_fn(
@@ -1611,7 +1733,16 @@ class VitsSession:
             # b=1 stream-starts were already compiled by the chunk
             # loop above (it dispatches the fused call per text bucket)
             stream_combos = [
-                (b, t) for b in batch_sizes if b != 1 for t in tb
+                (b, t)
+                for b in batch_sizes
+                if b != 1
+                for t in tb
+                if _want(hit_key("stream_start", b, t, w0))
+                or (
+                    self.batched_continuations
+                    and w_cont != w0
+                    and _want(hit_key("chunk", b, t, w_cont))
+                )
             ]
             if parallel > 1:
                 from concurrent.futures import ThreadPoolExecutor
@@ -1635,14 +1766,19 @@ class VitsSession:
         # (already-warmed) duration pass and fetching its tiny totals
         # output forces completion of the entire grid.
         if not _SHUTDOWN_EVENT.is_set():
+            # use an already-warmed combo so the barrier itself never
+            # adds an executable outside the (possibly pruned) grid
+            b_bar, t_bar = combos[0] if combos else (
+                batch_sizes[0], tb[0]
+            )
             ids_d = self._put(
-                np.zeros((batch_sizes[0], tb[0]), np.int32), sharded=True
+                np.zeros((b_bar, t_bar), np.int32), sharded=True
             )
             lengths_d = self._put(
-                np.full((batch_sizes[0],), tb[0], np.int32), sharded=True
+                np.full((b_bar,), t_bar, np.int32), sharded=True
             )
             sid_d = self._put(
-                np.zeros((batch_sizes[0],), np.int32), sharded=True
+                np.zeros((b_bar,), np.int32), sharded=True
             )
             _, totals_d = self._dur_fn(
                 self.params, ids_d, lengths_d, rng,
@@ -1650,10 +1786,7 @@ class VitsSession:
             )
             np.asarray(totals_d)  # host sync = hard barrier
         elapsed = time.perf_counter() - start
-        self.stats.compile_count += (
-            len(tb) * (len(fb) + 1) * len(batch_sizes)
-            + n_chunk_compiles
-        )
+        self.stats.compile_count += n_total + n_chunk_compiles
         _LOGGER.info("Warmup compiled %s buckets in %.1fs",
                      self.stats.compile_count, elapsed)
         return elapsed

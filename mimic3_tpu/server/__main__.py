@@ -41,6 +41,7 @@ class ServerConfig:
     max_batch: int = 16
     batch_delay_ms: float = 5.0
     warmup: bool = False
+    warmup_profile: typing.Optional[str] = None
     profile_dir: typing.Optional[str] = None
 
 
@@ -121,6 +122,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Pre-compile all buckets for preloaded voices at startup",
     )
     parser.add_argument(
+        "--warmup-profile",
+        help="JSON traffic profile (a saved /api/stats payload, or a "
+        "bare executable_hits table): --warmup compiles only the "
+        "executables named in it instead of the full bucket grid",
+    )
+    parser.add_argument(
         "--profile-dir",
         help="Directory for jax.profiler traces captured via "
         "POST /api/profile (TensorBoard/xprof format)",
@@ -176,6 +183,7 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
         max_batch=args.max_batch,
         batch_delay_ms=args.batch_delay_ms,
         warmup=args.warmup,
+        warmup_profile=args.warmup_profile,
         profile_dir=args.profile_dir,
     )
 

@@ -177,7 +177,36 @@ class TtsApp:
         with self._voices_lock:
             return dict(self._voice_sessions)
 
+    def _load_warmup_profile(
+        self,
+    ) -> typing.Optional[typing.FrozenSet[str]]:
+        """Parse --warmup-profile into a set of hit_key strings.
+
+        Accepts either a full /api/stats payload (keys unioned across
+        its voices' ``executable_hits`` tables) or a bare
+        ``{hit_key: count}`` mapping — so the capture workflow is just
+        ``curl /api/stats > profile.json`` on a representative run.
+        """
+        path = self.config.warmup_profile
+        if not path:
+            return None
+        import json as _json
+
+        data = _json.loads(Path(path).read_text())
+        keys: typing.Set[str] = set()
+        if "voices" in data and isinstance(data["voices"], dict):
+            for voice in data["voices"].values():
+                keys.update(voice.get("executable_hits", {}))
+        else:
+            keys.update(data)
+        _LOGGER.info(
+            "Warmup profile: %d executable signatures from %s",
+            len(keys), path,
+        )
+        return frozenset(keys)
+
     def preload(self) -> None:
+        warmup_profile = self._load_warmup_profile()
         for key in self.config.preload_voice or []:
             _LOGGER.info("Preloading voice %s", key)
             voice = self._catalog._get_or_load_voice(key)
@@ -197,6 +226,7 @@ class TtsApp:
                 voice.session.warmup(
                     batch_sizes=bb,
                     chunk_windows=_STREAM_WINDOWS,
+                    profile=warmup_profile,
                 )
 
     # -- synthesis ----------------------------------------------------------------
@@ -601,6 +631,10 @@ def build_server(app: TtsApp) -> HttpServer:
                 # load tests diff this across a run to prove the hot
                 # path never paid an XLA compile
                 "jit_executables": session.jit_executable_count(),
+                # per-executable dispatch counts: save this table and
+                # restart with --warmup-profile to warm only the
+                # executables this deployment's traffic actually hits
+                "executable_hits": dict(stats.executable_hits),
             }
         from ..runtime.session import (
             device_calls_in_flight,

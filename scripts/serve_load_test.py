@@ -1,15 +1,27 @@
 #!/usr/bin/env python3
 """End-to-end HTTP serving load test on the current JAX device.
 
-Starts a real ``mimic3-server`` subprocess (warmup on), fires
-concurrent /api/tts requests, and reports wall time, audio seconds,
-and the scheduler's realized batch sizes from /api/stats — the whole
-serving stack (HTTP -> engine -> BatchScheduler -> compiled session)
-on actual hardware.
+Two-phase by default:
+
+- **Phase 0 (profiling)**: a server with NO warmup takes a small
+  representative traffic sample, paying inline compiles; its
+  /api/stats ``executable_hits`` table is saved as the traffic
+  profile (closed over the batch-bucket ladder, since the scheduler's
+  realized batch sizes vary run to run).
+- **Phase 1 (measurement)**: a fresh server starts with ``--warmup
+  --warmup-profile``, compiling ONLY the profiled executables (the
+  full grid is ~175 executables; the b=1 f=2048/4096 decodes alone
+  take minutes each to compile and no short-text deployment ever
+  dispatches them).  Then the SLO phases run: concurrent /api/tts
+  batch throughput + first-chunk latency at 1/4/16 streamers, with a
+  zero-hot-path-compile assertion.
+
+``--full-warmup`` restores the old single-phase full-grid behavior.
 
 Usage: nohup python -u scripts/serve_load_test.py > /tmp/serve_load.log 2>&1 &
 """
 
+import argparse
 import io
 import json
 import subprocess
@@ -21,6 +33,8 @@ import urllib.request
 import wave
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
+
+BATCH_LADDER = (1, 2, 4, 8, 16)
 
 PORT = 59333
 BASE = f"http://127.0.0.1:{PORT}"
@@ -112,7 +126,101 @@ def jit_executables() -> int:
     )
 
 
+def fetch_stats() -> dict:
+    with urllib.request.urlopen(f"{BASE}/api/stats", timeout=30) as r:
+        return json.loads(r.read())
+
+
+def expand_profile(hits: dict) -> dict:
+    """Close an observed hit table over the batch-bucket ladder.
+
+    The scheduler's realized batch sizes depend on request arrival
+    timing, so a short profiling run may observe e.g. b=5-packed
+    batches (bucket 8) but never bucket 2 — which a later run WILL
+    hit.  Every observed (kind, text, frames) signature is therefore
+    expanded to all batch buckets; text/frame buckets stay exactly as
+    observed (they are functions of the traffic's content, not of
+    arrival timing).
+    """
+    keys = set()
+    for key in hits:
+        parts = key.split(":")  # kind : bN : tN [: fN]
+        for b in BATCH_LADDER:
+            parts[1] = f"b{b}"
+            keys.add(":".join(parts))
+    return {k: 1 for k in sorted(keys)}
+
+
+def start_server(voices_root: Path, extra: list, log_name: str):
+    server_log = open(voices_root / log_name, "wb")
+    print(f"server log: {voices_root}/{log_name}", flush=True)
+    return subprocess.Popen(
+        [
+            sys.executable, "-m", "mimic3_tpu.server",
+            "--port", str(PORT),
+            "--voices-dir", str(voices_root),
+            "--preload-voice", "en_US/test_low",
+            "--no-download",
+            *extra,
+        ],
+        stdout=server_log,
+        stderr=subprocess.STDOUT,
+    )
+
+
+def profiling_phase(voices_root: Path) -> Path:
+    """Phase 0: sample the traffic with no warmup; save the profile."""
+    server = start_server(voices_root, [], "server_phase0.log")
+    try:
+        t0 = time.perf_counter()
+        wait_healthy(timeout=1200)
+        print(
+            f"phase0 server up after {time.perf_counter() - t0:.0f}s "
+            "(no warmup)",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        # representative sample of both phase-1 workloads (pays
+        # inline compiles; they land in the persistent XLA cache)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(one_request, range(8)))
+        one_streaming_request(-1)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(one_streaming_request, range(4)))
+        hits: dict = {}
+        for voice in fetch_stats()["voices"].values():
+            for key, count in voice.get(
+                "executable_hits", {}
+            ).items():
+                hits[key] = hits.get(key, 0) + count
+        print(
+            f"phase0 traffic in {time.perf_counter() - t0:.0f}s; "
+            f"{len(hits)} executable signatures observed: "
+            f"{sorted(hits)}",
+            flush=True,
+        )
+    finally:
+        _graceful_stop(server)
+    profile = expand_profile(hits)
+    profile_path = voices_root / "traffic_profile.json"
+    profile_path.write_text(json.dumps(profile, indent=1))
+    print(
+        f"profile: {len(profile)} signatures after batch-ladder "
+        f"expansion -> {profile_path}",
+        flush=True,
+    )
+    return profile_path
+
+
 def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--full-warmup", action="store_true",
+        help="single-phase full-grid warmup (old behavior) instead of "
+        "the profiled two-phase run",
+    )
+    args = parser.parse_args()
+
     voices_root = Path(tempfile.mkdtemp(prefix="serve_load_"))
     voice_dir = voices_root / "en_US" / "test_low"
     # voice creation is seed-derived weights + a validation synth — pure
@@ -130,20 +238,12 @@ def main() -> int:
         env=env,
     )
 
-    server_log = open(voices_root / "server.log", "wb")
-    print(f"server log: {voices_root}/server.log", flush=True)
-    server = subprocess.Popen(
-        [
-            sys.executable, "-m", "mimic3_tpu.server",
-            "--port", str(PORT),
-            "--voices-dir", str(voices_root),
-            "--preload-voice", "en_US/test_low",
-            "--warmup",
-            "--no-download",
-        ],
-        stdout=server_log,
-        stderr=subprocess.STDOUT,
-    )
+    warmup_args = ["--warmup"]
+    if not args.full_warmup:
+        profile_path = profiling_phase(voices_root)
+        warmup_args += ["--warmup-profile", str(profile_path)]
+
+    server = start_server(voices_root, warmup_args, "server.log")
     try:
         # The server binds only AFTER preload+warmup completes
         # (server/__main__.py), so healthy == fully warmed.  On a
@@ -153,10 +253,8 @@ def main() -> int:
         t_start = time.perf_counter()
         print("waiting for warmup...", flush=True)
         wait_healthy(timeout=5400)
-        print(
-            f"healthy after {time.perf_counter() - t_start:.0f}s",
-            flush=True,
-        )
+        warmup_wall_s = time.perf_counter() - t_start
+        print(f"healthy after {warmup_wall_s:.0f}s", flush=True)
         # settle requests: absorb any executable the warmup grid missed
         one_request(-1)
         one_streaming_request(-1)
@@ -200,14 +298,34 @@ def main() -> int:
                     "batches": stats["scheduler"]["batches"],
                     "first_chunk_latency": latency,
                     "hot_path_compiles": hot_path_compiles,
+                    "warmup_wall_s": round(warmup_wall_s, 1),
+                    "warmup_mode": (
+                        "full-grid" if args.full_warmup
+                        else "profiled"
+                    ),
                 }
             ),
             flush=True,
         )
         if hot_path_compiles:
+            dispatched = set()
+            for voice in stats["voices"].values():
+                dispatched.update(voice.get("executable_hits", {}))
+            missed = sorted(
+                dispatched - set(expand_profile(dispatched))
+            ) if args.full_warmup else sorted(
+                dispatched
+                - set(
+                    json.loads(
+                        (voices_root / "traffic_profile.json")
+                        .read_text()
+                    )
+                )
+            )
             print(
                 f"SLO VIOLATION: {hot_path_compiles} XLA compiles on "
-                "the serving hot path",
+                f"the serving hot path; dispatched-but-unprofiled "
+                f"signatures: {missed}",
                 flush=True,
             )
             return 1

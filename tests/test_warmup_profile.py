@@ -1,0 +1,85 @@
+"""Traffic-profile warmup pruning (VERDICT r03 #4).
+
+A deployment saves /api/stats' ``executable_hits`` table and restarts
+with ``--warmup-profile``: warmup then compiles only the executables
+the traffic actually dispatches (the full grid is ~175 executables;
+the b=1 f=2048/4096 decodes alone compile for minutes each and short-
+text traffic never hits them).  The zero-hot-path-compile property of
+a profiled warmup is asserted live on hardware by
+scripts/serve_load_test.py; these tests pin the key format and the
+parsing/expansion plumbing.
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+from mimic3_tpu.runtime.session import hit_key
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        "serve_load_test", REPO / "scripts" / "serve_load_test.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hit_key_format():
+    assert hit_key("duration", 4, 64) == "duration:b4:t64"
+    assert hit_key("decode", 16, 128, 1024) == "decode:b16:t128:f1024"
+    # numpy ints must not leak reprs into keys
+    import numpy as np
+
+    assert (
+        hit_key("chunk", np.int64(2), np.int32(64), np.int64(90))
+        == "chunk:b2:t64:f90"
+    )
+
+
+def test_expand_profile_closes_batch_ladder():
+    mod = _load_script()
+    out = mod.expand_profile({"decode:b8:t64:f512": 3})
+    assert set(out) == {
+        f"decode:b{b}:t64:f512" for b in mod.BATCH_LADDER
+    }
+    # no-frame kinds expand the same way
+    out = mod.expand_profile({"duration:b1:t64": 1})
+    assert f"duration:b16:t64" in out
+    assert len(out) == len(mod.BATCH_LADDER)
+
+
+def test_server_profile_parsing(tmp_path):
+    from mimic3_tpu.server.app import TtsApp
+
+    # full /api/stats payload form
+    stats_payload = {
+        "scheduler": {},
+        "voices": {
+            "en_US/a": {"executable_hits": {"duration:b1:t64": 9}},
+            "en_US/b": {"executable_hits": {"decode:b1:t64:f256": 2}},
+        },
+    }
+    p = tmp_path / "profile.json"
+    p.write_text(json.dumps(stats_payload))
+
+    class Cfg:
+        warmup_profile = str(p)
+
+    app = TtsApp.__new__(TtsApp)
+    app.config = Cfg()
+    keys = TtsApp._load_warmup_profile(app)
+    assert keys == {"duration:b1:t64", "decode:b1:t64:f256"}
+
+    # bare hit-table form
+    p.write_text(json.dumps({"chunk:b1:t64:f90": 1}))
+    assert TtsApp._load_warmup_profile(app) == {"chunk:b1:t64:f90"}
+
+    # unset -> no pruning
+    app.config.warmup_profile = None
+    assert TtsApp._load_warmup_profile(app) is None

@@ -296,6 +296,13 @@ class SessionStats:
                 self.executable_hits.get(key, 0) + 1
             )
 
+    def hits_snapshot(self) -> typing.Dict[str, int]:
+        """Copy of ``executable_hits`` taken under ``_lock`` — request
+        threads mutate the dict through :meth:`record_hit`, and a
+        resize during an unlocked ``dict()`` copy raises RuntimeError."""
+        with self._lock:
+            return dict(self.executable_hits)
+
     def record(self, infer_sec: float, audio_sec: float) -> None:
         with self._lock:
             self.utterances += 1
@@ -338,6 +345,29 @@ def hit_key(
     """
     key = f"{kind}:b{int(b)}:t{int(t)}"
     return key if f is None else f"{key}:f{int(f)}"
+
+
+def expand_profile_batches(
+    profile: typing.Collection[str],
+    batch_buckets: typing.Sequence[int],
+) -> typing.FrozenSet[str]:
+    """Close a captured traffic profile over the batch-bucket ladder.
+
+    A raw /api/stats ``executable_hits`` capture records only the batch
+    buckets that request ARRIVAL TIMING happened to realize (the
+    scheduler packs whatever is queued); a later run with the same
+    traffic content WILL hit other buckets.  Text/frame buckets stay
+    exactly as observed — they are functions of the traffic's content.
+    ``VitsSession.warmup`` applies this closure itself, so raw
+    /api/stats captures are safe to pass to ``--warmup-profile``.
+    """
+    keys: typing.Set[str] = set()
+    for key in profile:
+        parts = key.split(":")  # kind : bN : tN [: fN]
+        for b in batch_buckets:
+            parts[1] = f"b{int(b)}"
+            keys.add(":".join(parts))
+    return frozenset(keys)
 
 
 class _LazyHostRows:
@@ -707,6 +737,11 @@ class VitsSession:
         # see hot-path compiles.  Mandatory (fallback) decodes are
         # unrestricted: their first dispatch compiles by necessity.
         self._compiled_decode_keys: typing.Set[str] = set()
+        # executable count at the moment warmup finished; any growth
+        # past it is an XLA compile ON the serving hot path (a profile
+        # miss).  None until a warmup has run.
+        self._warmup_executable_baseline: typing.Optional[int] = None
+        self._hot_path_compiles_logged = 0
 
         multispeaker = config.model.is_multispeaker
 
@@ -840,6 +875,35 @@ class VitsSession:
                 )
             )
         )
+
+    def hot_path_compiles(self) -> int:
+        """Executables compiled AFTER warmup completed.
+
+        Zero until a warmup has run (without one, every compile is a
+        first-dispatch compile by design, not an SLO violation).  Logs
+        each newly-detected hot-path compile once — a deployment running
+        off a ``--warmup-profile`` capture uses this (via /api/stats)
+        to learn that live traffic escaped the profiled set and the
+        profile needs re-capturing.
+        """
+        with self._lock:
+            if self._warmup_executable_baseline is None:
+                return 0
+            n = max(
+                0,
+                self.jit_executable_count()
+                - self._warmup_executable_baseline,
+            )
+            if n > self._hot_path_compiles_logged:
+                _LOGGER.warning(
+                    "%d XLA compile(s) on the serving hot path — live "
+                    "traffic dispatched signatures outside the warmed "
+                    "set; re-capture the warmup profile from "
+                    "/api/stats executable_hits",
+                    n,
+                )
+                self._hot_path_compiles_logged = n
+            return n
 
     # -- shared sessions -----------------------------------------------------
 
@@ -1553,7 +1617,11 @@ class VitsSession:
         start = time.perf_counter()
         tb = tuple(text_buckets or self.text_buckets)
         fb = tuple(frame_buckets or self.frame_buckets)
-        profile_set = None if profile is None else frozenset(profile)
+        profile_set = (
+            None
+            if profile is None
+            else expand_profile_batches(profile, self.batch_buckets)
+        )
 
         def _want(key: str) -> bool:
             return profile_set is None or key in profile_set
@@ -1652,6 +1720,7 @@ class VitsSession:
         # decode per window size, so the first low-latency request
         # doesn't pay XLA compilation either
         n_chunk_compiles = 0
+        warmed_stream_bt: typing.List[typing.Tuple[int, int]] = []
         for t in (tb if chunk_windows else ()):
             if _SHUTDOWN_EVENT.is_set():
                 break
@@ -1688,6 +1757,7 @@ class VitsSession:
                 )
                 n_chunk_compiles += 1
             n_chunk_compiles += 1  # stream-start (b=1)
+            warmed_stream_bt.append((1, t))
         # fused stream-start executables for the batched streaming
         # path: (batch bucket x text bucket) at the FIRST stream window
         # (continuation windows are the b=1 chunk executables above)
@@ -1725,6 +1795,7 @@ class VitsSession:
                         jnp.float32(0.667), s, jnp.int32(0),
                         m_p, logs_p, num_frames=w_cont,
                     )
+                warmed_stream_bt.append((b, t))
                 _LOGGER.info(
                     "warmup stream-start b=%d t=%d (%.0fs)",
                     b, t, time.perf_counter() - start,
@@ -1766,27 +1837,50 @@ class VitsSession:
         # (already-warmed) duration pass and fetching its tiny totals
         # output forces completion of the entire grid.
         if not _SHUTDOWN_EVENT.is_set():
-            # use an already-warmed combo so the barrier itself never
-            # adds an executable outside the (possibly pruned) grid
-            b_bar, t_bar = combos[0] if combos else (
-                batch_sizes[0], tb[0]
-            )
-            ids_d = self._put(
-                np.zeros((b_bar, t_bar), np.int32), sharded=True
-            )
-            lengths_d = self._put(
-                np.full((b_bar,), t_bar, np.int32), sharded=True
-            )
-            sid_d = self._put(
-                np.zeros((b_bar,), np.int32), sharded=True
-            )
-            _, totals_d = self._dur_fn(
-                self.params, ids_d, lengths_d, rng,
-                jnp.float32(1.0), jnp.float32(0.8), sid_d,
-            )
-            np.asarray(totals_d)  # host sync = hard barrier
+            # use an already-warmed signature so the barrier itself
+            # never adds an executable outside the (possibly pruned)
+            # grid: a duration combo if any was warmed, else a warmed
+            # stream-start (streaming-only profile), else nothing was
+            # dispatched and no barrier is needed
+            if combos:
+                b_bar, t_bar = combos[0]
+                ids_d = self._put(
+                    np.zeros((b_bar, t_bar), np.int32), sharded=True
+                )
+                lengths_d = self._put(
+                    np.full((b_bar,), t_bar, np.int32), sharded=True
+                )
+                sid_d = self._put(
+                    np.zeros((b_bar,), np.int32), sharded=True
+                )
+                _, totals_d = self._dur_fn(
+                    self.params, ids_d, lengths_d, rng,
+                    jnp.float32(1.0), jnp.float32(0.8), sid_d,
+                )
+                np.asarray(totals_d)  # host sync = hard barrier
+            elif warmed_stream_bt and chunk_windows:
+                b_bar, t_bar = warmed_stream_bt[0]
+                sharded = b_bar > 1
+                ids_d = self._put(
+                    np.zeros((b_bar, t_bar), np.int32), sharded=sharded
+                )
+                lengths_d = self._put(
+                    np.full((b_bar,), t_bar, np.int32), sharded=sharded
+                )
+                sid_d = self._put(
+                    np.zeros((b_bar,), np.int32), sharded=sharded
+                )
+                _, totals_d, _m, _ls, _a0 = self._stream_start_fn(
+                    self.params, ids_d, lengths_d, rng,
+                    jnp.float32(1.0), jnp.float32(0.8),
+                    jnp.float32(0.667), sid_d,
+                    num_frames=min(chunk_windows),
+                )
+                np.asarray(totals_d)  # host sync = hard barrier
         elapsed = time.perf_counter() - start
         self.stats.compile_count += n_total + n_chunk_compiles
+        with self._lock:
+            self._warmup_executable_baseline = self.jit_executable_count()
         _LOGGER.info("Warmup compiled %s buckets in %.1fs",
                      self.stats.compile_count, elapsed)
         return elapsed

@@ -631,10 +631,15 @@ def build_server(app: TtsApp) -> HttpServer:
                 # load tests diff this across a run to prove the hot
                 # path never paid an XLA compile
                 "jit_executables": session.jit_executable_count(),
+                # compiles observed AFTER warmup completed: a nonzero
+                # value means live traffic escaped the warmed set (a
+                # --warmup-profile miss) and the profile needs
+                # re-capturing; the session logs each occurrence
+                "hot_path_compiles": session.hot_path_compiles(),
                 # per-executable dispatch counts: save this table and
                 # restart with --warmup-profile to warm only the
                 # executables this deployment's traffic actually hits
-                "executable_hits": dict(stats.executable_hits),
+                "executable_hits": stats.hits_snapshot(),
             }
         from ..runtime.session import (
             device_calls_in_flight,

@@ -267,6 +267,16 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> int:
                 ckptr.save(str(path), state)
                 _LOGGER.info("Checkpoint: %s", path)
 
+    # always checkpoint the FINAL step: when the run length isn't a
+    # multiple of --checkpoint-every, a later --resume would otherwise
+    # silently restart from an earlier step and under-train any segment
+    # that builds on this one (fidelity-vs-steps milestones mislabeled)
+    final_step = start_step + args.steps
+    if ckptr is not None and final_step % args.checkpoint_every != 0:
+        path = ckpt_dir / str(final_step)
+        ckptr.save(str(path), state)
+        _LOGGER.info("Final checkpoint: %s", path)
+
     if args.export:
         from .runtime.convert import save_pytree_npz
         from .models.vits.layers import fold_weight_norm

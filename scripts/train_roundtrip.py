@@ -239,7 +239,9 @@ def main() -> int:
     #    phonemes.txt from the test-voice generator), FRESH weights —
     #    train_cli starts from scratch when no generator.npz exists
     shutil.rmtree(student_dir, ignore_errors=True)  # fresh on rerun
-    skel = root / "skel"
+    # skel keyed by decoder: a reused --workdir must not silently serve
+    # a cached skeleton built for a different decoder family
+    skel = root / f"skel-{args.decoder}"
     if not (skel / "config.json").is_file():
         create_test_voice(
             skel, full_size=False, seed=1, decoder_type=args.decoder

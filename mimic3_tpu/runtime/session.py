@@ -350,23 +350,54 @@ def hit_key(
 def expand_profile_batches(
     profile: typing.Collection[str],
     batch_buckets: typing.Sequence[int],
+    frame_buckets: typing.Optional[typing.Sequence[int]] = None,
 ) -> typing.FrozenSet[str]:
     """Close a captured traffic profile over the batch-bucket ladder.
 
     A raw /api/stats ``executable_hits`` capture records only the batch
     buckets that request ARRIVAL TIMING happened to realize (the
     scheduler packs whatever is queued); a later run with the same
-    traffic content WILL hit other buckets.  Text/frame buckets stay
-    exactly as observed — they are functions of the traffic's content.
+    traffic content WILL hit other buckets.  Text buckets stay exactly
+    as observed — they are functions of the traffic's content.
+
+    Frame buckets are NOT purely content-derived for batched decode:
+    the decode executable's frame bucket is ``bucket(max frames in
+    batch)``, the stochastic duration predictor jitters per-row totals,
+    and the batch max is monotone in batch size — so the same traffic
+    near a bucket boundary crosses into the NEXT frame bucket when the
+    scheduler packs a bigger batch (observed live: phase-0 saw
+    ``decode:*:f128``, the measurement run dispatched
+    ``decode:b8:*:f256`` and paid a hot-path compile).  Each f-keyed
+    signature is therefore also closed over the next-larger frame
+    bucket when ``frame_buckets`` is given.
+
     ``VitsSession.warmup`` applies this closure itself, so raw
     /api/stats captures are safe to pass to ``--warmup-profile``.
     """
+    fb = sorted(int(f) for f in frame_buckets) if frame_buckets else []
+
+    def next_f(f: int) -> typing.Optional[int]:
+        for cand in fb:
+            if cand > f:
+                return cand
+        return None
+
     keys: typing.Set[str] = set()
     for key in profile:
         parts = key.split(":")  # kind : bN : tN [: fN]
+        frames = (
+            [parts[3]] if len(parts) > 3 else [None]
+        )
+        if len(parts) > 3:
+            up = next_f(int(parts[3][1:]))
+            if up is not None:
+                frames.append(f"f{up}")
         for b in batch_buckets:
             parts[1] = f"b{int(b)}"
-            keys.add(":".join(parts))
+            for f_part in frames:
+                if f_part is not None:
+                    parts[3] = f_part
+                keys.add(":".join(parts))
     return frozenset(keys)
 
 
@@ -1620,7 +1651,9 @@ class VitsSession:
         profile_set = (
             None
             if profile is None
-            else expand_profile_batches(profile, self.batch_buckets)
+            else expand_profile_batches(
+                profile, self.batch_buckets, frame_buckets=fb
+            )
         )
 
         def _want(key: str) -> bool:

@@ -54,6 +54,40 @@ def test_expand_profile_closes_batch_ladder():
     assert len(out) == len(mod.BATCH_LADDER)
 
 
+def test_expand_profile_batches_closes_next_frame_bucket():
+    """The decode frame bucket is bucket(max frames in batch): the
+    stochastic duration predictor jitters per-row totals and the batch
+    max is monotone in batch size, so the same traffic near a boundary
+    crosses into the NEXT frame bucket under different packing
+    (observed live: phase-0 saw decode:*:f128, the measurement run
+    dispatched decode:b8:t64:f256 and paid a hot-path compile)."""
+    from mimic3_tpu.runtime.session import expand_profile_batches
+
+    out = expand_profile_batches(
+        {"decode:b2:t64:f128"},
+        batch_buckets=(1, 2, 4, 8),
+        frame_buckets=(128, 256, 512),
+    )
+    for b in (1, 2, 4, 8):
+        assert f"decode:b{b}:t64:f128" in out
+        assert f"decode:b{b}:t64:f256" in out  # next-f closure
+        assert f"decode:b{b}:t64:f512" not in out  # only ONE bucket up
+
+    # top of the ladder: nothing above to close over
+    out = expand_profile_batches(
+        {"decode:b1:t64:f512"},
+        batch_buckets=(1, 2),
+        frame_buckets=(128, 256, 512),
+    )
+    assert set(out) == {"decode:b1:t64:f512", "decode:b2:t64:f512"}
+
+    # no frame ladder given -> plain batch closure (back-compat)
+    out = expand_profile_batches(
+        {"duration:b1:t64"}, batch_buckets=(1, 4)
+    )
+    assert set(out) == {"duration:b1:t64", "duration:b4:t64"}
+
+
 def test_server_profile_parsing(tmp_path):
     from mimic3_tpu.server.app import TtsApp
 

@@ -195,6 +195,14 @@ def main() -> int:
         "held-out fidelity — produces the fidelity-vs-steps curve in "
         "one run with a warm compile cache",
     )
+    parser.add_argument(
+        "--resume-run",
+        action="store_true",
+        help="continue a crashed curve run in an existing --workdir: "
+        "keep the student dir and its checkpoints, pick up from the "
+        "latest checkpoint step, and train only milestones beyond it "
+        "(without this flag a reused workdir starts a FRESH student)",
+    )
     args = parser.parse_args()
     milestones = (
         sorted(int(s) for s in args.eval_at.split(","))
@@ -238,17 +246,38 @@ def main() -> int:
     # 2. student: standard *_low-architecture skeleton (config.json +
     #    phonemes.txt from the test-voice generator), FRESH weights —
     #    train_cli starts from scratch when no generator.npz exists
-    shutil.rmtree(student_dir, ignore_errors=True)  # fresh on rerun
-    # skel keyed by decoder: a reused --workdir must not silently serve
-    # a cached skeleton built for a different decoder family
-    skel = root / f"skel-{args.decoder}"
-    if not (skel / "config.json").is_file():
-        create_test_voice(
-            skel, full_size=False, seed=1, decoder_type=args.decoder
+    resume_step = 0
+    if args.resume_run:
+        ckpt_dir = student_dir / "checkpoints"
+        done = (
+            sorted(
+                int(p.name)
+                for p in ckpt_dir.iterdir()
+                if p.name.isdigit()
+            )
+            if ckpt_dir.is_dir()
+            else []
         )
-    student_dir.mkdir(parents=True)
-    for name in ("config.json", "phonemes.txt"):
-        shutil.copy(skel / name, student_dir / name)
+        resume_step = done[-1] if done else 0
+    if resume_step:
+        if milestones[-1] <= resume_step:
+            parser.error(
+                f"--resume-run found step {resume_step} but every "
+                f"--eval-at milestone is already complete"
+            )
+        print(f"resuming crashed run at step {resume_step}", flush=True)
+    else:
+        shutil.rmtree(student_dir, ignore_errors=True)  # fresh on rerun
+        # skel keyed by decoder: a reused --workdir must not silently
+        # serve a cached skeleton built for a different decoder family
+        skel = root / f"skel-{args.decoder}"
+        if not (skel / "config.json").is_file():
+            create_test_voice(
+                skel, full_size=False, seed=1, decoder_type=args.decoder
+            )
+        student_dir.mkdir(parents=True)
+        for name in ("config.json", "phonemes.txt"):
+            shutil.copy(skel / name, student_dir / name)
 
     from mimic3_tpu.train_cli import main as train_main
 
@@ -257,7 +286,7 @@ def main() -> int:
     # curve from one process, warm compile cache throughout
     curve = []
     correlations: list = []
-    trained = 0
+    trained = resume_step
     for milestone in milestones:
         segment = milestone - trained
         if segment <= 0:

@@ -40,6 +40,7 @@ class ServerConfig:
     num_workers: int = 8
     max_batch: int = 16
     batch_delay_ms: float = 5.0
+    batch_delay_max_ms: float = 25.0
     warmup: bool = False
     warmup_profile: typing.Optional[str] = None
     profile_dir: typing.Optional[str] = None
@@ -118,6 +119,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Max wait to fill a TPU batch",
     )
     parser.add_argument(
+        "--batch-delay-max-ms", type=float, default=25.0,
+        help="Upper bound the batch window stretches to under load "
+        "(unresolved requests + open streams promise more arrivals); "
+        "a lone client never waits past --batch-delay-ms",
+    )
+    parser.add_argument(
         "--warmup", action="store_true",
         help="Pre-compile all buckets for preloaded voices at startup",
     )
@@ -182,6 +189,7 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
         num_workers=args.num_workers,
         max_batch=args.max_batch,
         batch_delay_ms=args.batch_delay_ms,
+        batch_delay_max_ms=args.batch_delay_max_ms,
         warmup=args.warmup,
         warmup_profile=args.warmup_profile,
         profile_dir=args.profile_dir,

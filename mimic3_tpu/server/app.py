@@ -122,6 +122,9 @@ class TtsApp:
         self.scheduler = BatchScheduler(
             max_batch=config.max_batch,
             max_delay_ms=config.batch_delay_ms,
+            adaptive_delay_ms=getattr(
+                config, "batch_delay_max_ms", 25.0
+            ),
         )
         self._executor = ThreadPoolExecutor(
             max_workers=config.num_workers,
@@ -651,6 +654,10 @@ def build_server(app: TtsApp) -> HttpServer:
                 "batches": app.scheduler.stats.batches,
                 "items": app.scheduler.stats.items,
                 "mean_batch_size": app.scheduler.stats.mean_batch_size,
+                "adaptive_extensions": (
+                    app.scheduler.stats.adaptive_extensions
+                ),
+                "current_load": app.scheduler.current_load(),
             },
             # tooling polls this before terminating the server: killing
             # a process mid-XLA-compile wedges the TPU relay (round-3

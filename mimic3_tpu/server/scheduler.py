@@ -59,25 +59,85 @@ class _BatchItem:
 class SchedulerStats:
     batches: int = 0
     items: int = 0
+    # batches whose collect window was adaptively extended past the
+    # base delay because observed load promised more compatible arrivals
+    adaptive_extensions: int = 0
 
     @property
     def mean_batch_size(self) -> float:
         return self.items / self.batches if self.batches else 0.0
 
 
+class _TrackedStream:
+    """Passthrough chunk iterator that reports open/closed to the
+    scheduler's load estimate.  ``yield from`` propagates close() into
+    it, so client disconnects decrement the open-stream count."""
+
+    def __init__(self, scheduler: "BatchScheduler", inner):
+        self._scheduler = scheduler
+        self._inner = inner
+        self._open = True
+        scheduler._stream_opened()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        try:
+            return next(self._inner)
+        except BaseException:
+            self._finish()
+            raise
+
+    def close(self) -> None:
+        try:
+            self._inner.close()
+        finally:
+            self._finish()
+
+    def _finish(self) -> None:
+        if self._open:
+            self._open = False
+            self._scheduler._stream_closed()
+
+    def __del__(self):  # unconsumed + dropped: still release the slot
+        self._finish()
+
+
 class BatchScheduler:
-    """A single device-owning thread that drains a request queue."""
+    """A single device-owning thread that drains a request queue.
+
+    Coalescing is load-adaptive: every collect waits at least
+    ``max_delay`` for compatible requests (the base window), and when
+    the observed load — unresolved submissions plus open streaming
+    generators — promises more arrivals than have been collected, the
+    window stretches up to ``adaptive_delay`` waiting for them.  Under
+    sustained concurrent streaming the clients re-arrive asynchronously
+    after their first windows; the stretched window re-coalesces those
+    re-arrivals into large fused stream starts instead of letting small
+    batches serialize on the device (each dispatch costs a tunnel
+    round-trip).  A lone client never waits past the base window: its
+    load estimate is 1, already satisfied by its own request.
+    """
 
     def __init__(
         self,
         max_batch: int = 16,
         max_delay_ms: float = 5.0,
+        adaptive_delay_ms: typing.Optional[float] = 25.0,
     ):
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1000.0
+        self.adaptive_delay = max(
+            self.max_delay,
+            (adaptive_delay_ms or 0.0) / 1000.0,
+        )
         self.stats = SchedulerStats()
         self._closed = False
         self._submit_lock = threading.Lock()
+        self._load_lock = threading.Lock()
+        self._unresolved = 0
+        self._open_streams = 0
         self._queue: "queue.Queue[typing.Optional[_BatchItem]]" = (
             queue.Queue()
         )
@@ -86,6 +146,26 @@ class BatchScheduler:
             target=self._run, daemon=True, name="tts-batch-scheduler"
         )
         self._thread.start()
+
+    # -- load estimate -----------------------------------------------------------
+
+    def _stream_opened(self) -> None:
+        with self._load_lock:
+            self._open_streams += 1
+
+    def _stream_closed(self) -> None:
+        with self._load_lock:
+            self._open_streams -= 1
+
+    def _item_resolved(self, _future) -> None:
+        with self._load_lock:
+            self._unresolved -= 1
+
+    def current_load(self) -> int:
+        """Concurrency estimate: requests awaiting a device call plus
+        streams currently being consumed (each will re-arrive)."""
+        with self._load_lock:
+            return self._unresolved + self._open_streams
 
     # -- client API ------------------------------------------------------------
 
@@ -114,6 +194,9 @@ class BatchScheduler:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("BatchScheduler is shut down")
+            with self._load_lock:
+                self._unresolved += 1
+            item.future.add_done_callback(self._item_resolved)
             self._queue.put(item)
         return item.future
 
@@ -153,6 +236,9 @@ class BatchScheduler:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("BatchScheduler is shut down")
+            with self._load_lock:
+                self._unresolved += 1
+            item.future.add_done_callback(self._item_resolved)
             self._queue.put(item)
         return item.future
 
@@ -171,14 +257,27 @@ class BatchScheduler:
     def _collect(self, first: _BatchItem) -> typing.List[_BatchItem]:
         batch = [first]
         key = first.batch_key()
-        deadline = time.monotonic() + self.max_delay
+        start = time.monotonic()
+        base_deadline = start + self.max_delay
+        hard_deadline = start + self.adaptive_delay
         # on a dp>1 mesh, cap at a dp-divisible size so the packed batch
         # shards evenly across the data-parallel devices (the session
         # pads any remainder up to a batch bucket regardless)
         dp = int(getattr(first.session, "dp", 1))
         limit = max(dp, (self.max_batch // dp) * dp)
+        # load-adaptive target: how many compatible arrivals the current
+        # concurrency promises (includes this batch's own items)
+        target = min(limit, max(1, self.current_load()))
+        extended = False
         while len(batch) < limit:
-            timeout = deadline - time.monotonic()
+            now = time.monotonic()
+            if len(batch) >= target:
+                deadline = base_deadline
+            else:
+                deadline = hard_deadline
+                if now >= base_deadline:
+                    extended = True
+            timeout = deadline - now
             if timeout <= 0:
                 break
             try:
@@ -195,6 +294,8 @@ class BatchScheduler:
                 # incompatible settings: becomes the next batch's seed
                 self._pending = nxt
                 break
+        if extended:
+            self.stats.adaptive_extensions += 1
         return batch
 
     def _run(self) -> None:
@@ -234,6 +335,12 @@ class BatchScheduler:
                         noise_w=first.noise_w,
                         seed=first.seed,
                     )
+                if first.stream is not None:
+                    # wrap each chunk generator so the load estimate
+                    # sees it until the client finishes/disconnects
+                    results = [
+                        _TrackedStream(self, gen) for gen in results
+                    ]
                 for item, audio in zip(batch, results):
                     item.future.set_result(audio)
             except Exception as err:

@@ -88,6 +88,64 @@ def test_expand_profile_batches_closes_next_frame_bucket():
     assert set(out) == {"duration:b1:t64", "duration:b4:t64"}
 
 
+def test_hot_path_compile_guard(tmp_path, caplog):
+    """The runtime guard behind /api/stats ``hot_path_compiles``: zero
+    while traffic stays inside the warmed set, counts (and warns once
+    per new count) when a request dispatches an unwarmed signature —
+    the deployment signal that a --warmup-profile capture went stale."""
+    import logging
+
+    from mimic3_tpu.runtime.testvoice import create_test_voice
+    from mimic3_tpu.runtime.voice import TpuVoice
+
+    d = tmp_path / "en_US" / "test_low"
+    create_test_voice(d, full_size=False)
+    session = TpuVoice.load_from_directory(
+        d, share_sessions=False
+    ).session
+
+    # before any warmup every compile is a first-dispatch compile by
+    # design — the counter must stay 0, not blame cold starts on traffic
+    session.synthesize_ids([3, 7, 1], noise_scale=0.0, noise_w=0.0)
+    assert session.hot_path_compiles() == 0
+
+    # warm the smallest text bucket only (t=32, b=1, all frame buckets)
+    session.warmup(text_buckets=[32], batch_sizes=[1], parallel=2)
+    assert session.hot_path_compiles() == 0
+
+    # in-profile traffic: same t-bucket, warmed -> still zero
+    session.synthesize_ids(
+        [3, 7, 1, 9, 4], noise_scale=0.0, noise_w=0.0
+    )
+    assert session.hot_path_compiles() == 0
+
+    # out-of-profile traffic: 40 ids -> t-bucket 64, never warmed
+    with caplog.at_level(
+        logging.WARNING, logger="mimic3_tpu.runtime.session"
+    ):
+        session.synthesize_ids(
+            list(range(1, 11)) * 4, noise_scale=0.0, noise_w=0.0
+        )
+        n = session.hot_path_compiles()
+        assert n >= 1
+        hits = [
+            r for r in caplog.records if "serving hot path" in r.message
+        ]
+        assert len(hits) == 1
+        # re-reading the counter must not re-log
+        assert session.hot_path_compiles() == n
+        assert (
+            len(
+                [
+                    r
+                    for r in caplog.records
+                    if "serving hot path" in r.message
+                ]
+            )
+            == 1
+        )
+
+
 def test_server_profile_parsing(tmp_path):
     from mimic3_tpu.server.app import TtsApp
 

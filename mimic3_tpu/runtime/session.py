@@ -277,6 +277,7 @@ class SessionStats:
     rtf_history: typing.List[float] = field(default_factory=list)
     latency_history: typing.List[float] = field(default_factory=list)
     executable_hits: typing.Dict[str, int] = field(default_factory=dict)
+    bucket_fallbacks: typing.Dict[str, int] = field(default_factory=dict)
     _lock: threading.Lock = field(
         default_factory=threading.Lock, repr=False, compare=False
     )
@@ -302,6 +303,21 @@ class SessionStats:
         resize during an unlocked ``dict()`` copy raises RuntimeError."""
         with self._lock:
             return dict(self.executable_hits)
+
+    def record_bucket_fallback(self, natural: str, used: str) -> int:
+        """Count one warmed-bucket fallback (``natural`` signature was
+        not compiled; the request dispatched ``used`` instead).  Returns
+        the new count for this mapping so the caller can log first
+        occurrences only."""
+        key = f"{natural}->{used}"
+        with self._lock:
+            n = self.bucket_fallbacks.get(key, 0) + 1
+            self.bucket_fallbacks[key] = n
+            return n
+
+    def fallbacks_snapshot(self) -> typing.Dict[str, int]:
+        with self._lock:
+            return dict(self.bucket_fallbacks)
 
     def record(self, infer_sec: float, audio_sec: float) -> None:
         with self._lock:
@@ -385,6 +401,19 @@ def expand_profile_batches(
     keys: typing.Set[str] = set()
     for key in profile:
         parts = key.split(":")  # kind : bN : tN [: fN]
+        if (
+            len(parts) < 3
+            or not parts[1][:1] == "b"
+            or not parts[1][1:].isdigit()
+            or not parts[2][:1] == "t"
+            or not parts[2][1:].isdigit()
+            or (len(parts) > 3 and not parts[3][1:].isdigit())
+        ):
+            raise ValueError(
+                f"Malformed warmup-profile signature {key!r} — expected "
+                "'kind:bN:tN[:fN]' hit keys as recorded in /api/stats "
+                "executable_hits"
+            )
         frames = (
             [parts[3]] if len(parts) > 3 else [None]
         )
@@ -773,6 +802,12 @@ class VitsSession:
         # miss).  None until a warmup has run.
         self._warmup_executable_baseline: typing.Optional[int] = None
         self._hot_path_compiles_logged = 0
+        # signatures known compiled (populated by warmup, extended by
+        # hot-path compiles); once set, requests whose natural bucket
+        # is NOT in it round up to the nearest warmed bucket instead of
+        # compiling on the request path — buckets only change padding,
+        # so the audio is identical (tests/test_warmup_profile.py)
+        self._warmed_keys: typing.Optional[typing.Set[str]] = None
 
         multispeaker = config.model.is_multispeaker
 
@@ -936,6 +971,77 @@ class VitsSession:
                 self._hot_path_compiles_logged = n
             return n
 
+    def _note_compiled(self, key: str) -> None:
+        """Record a signature as compiled so later requests with the
+        same natural bucket dispatch it directly instead of falling
+        back to a larger warmed bucket forever."""
+        with self._lock:
+            if self._warmed_keys is not None:
+                self._warmed_keys.add(key)
+
+    def _fallback_t(self, b_bucket: int, t_bucket: int) -> int:
+        """Nearest warmed text bucket >= the natural one.
+
+        Engages only after a warmup recorded the compiled set: a
+        request whose natural ``duration`` signature was never warmed
+        (live traffic escaped a ``--warmup-profile`` capture) pays a
+        few extra padding columns at a larger warmed bucket instead of
+        a multi-minute XLA compile on the serving path.  Padding never
+        changes the audio (masked throughout; pinned by tests).  If no
+        larger bucket is warmed either, the natural bucket compiles as
+        before and ``hot_path_compiles`` counts it.
+        """
+        with self._lock:
+            warmed = self._warmed_keys
+        if warmed is None or self.allow_bucket_growth:
+            return t_bucket
+        natural = hit_key("duration", b_bucket, t_bucket)
+        if natural in warmed:
+            return t_bucket
+        for t in self.text_buckets:
+            if t <= t_bucket:
+                continue
+            used = hit_key("duration", b_bucket, t)
+            if used in warmed:
+                if self.stats.record_bucket_fallback(natural, used) == 1:
+                    _LOGGER.warning(
+                        "Warmed-bucket fallback: %s not compiled, "
+                        "dispatching %s (padded) — live traffic escaped "
+                        "the warmup profile; re-capture it from "
+                        "/api/stats executable_hits",
+                        natural, used,
+                    )
+                return t
+        return t_bucket
+
+    def _fallback_f(
+        self, b_bucket: int, t_bucket: int, f_bucket: int
+    ) -> int:
+        """Nearest warmed decode frame bucket >= the natural one
+        (same contract as :meth:`_fallback_t`)."""
+        with self._lock:
+            warmed = self._warmed_keys
+        if warmed is None or self.allow_bucket_growth:
+            return f_bucket
+        natural = hit_key("decode", b_bucket, t_bucket, f_bucket)
+        if natural in warmed or natural in self._compiled_decode_keys:
+            return f_bucket
+        for f in self.frame_buckets:
+            if f <= f_bucket:
+                continue
+            used = hit_key("decode", b_bucket, t_bucket, f)
+            if used in warmed or used in self._compiled_decode_keys:
+                if self.stats.record_bucket_fallback(natural, used) == 1:
+                    _LOGGER.warning(
+                        "Warmed-bucket fallback: %s not compiled, "
+                        "dispatching %s (padded) — live traffic escaped "
+                        "the warmup profile; re-capture it from "
+                        "/api/stats executable_hits",
+                        natural, used,
+                    )
+                return f
+        return f_bucket
+
     # -- shared sessions -----------------------------------------------------
 
     @classmethod
@@ -1073,6 +1179,7 @@ class VitsSession:
             self.text_buckets,
             grow=self.allow_bucket_growth,
         )
+        t_bucket = self._fallback_t(b_bucket, t_bucket)
         ids = np.zeros((b_bucket, t_bucket), np.int32)
         for i, seq in enumerate(id_sequences):
             ids[i, : len(seq)] = np.asarray(seq, np.int32)
@@ -1087,6 +1194,7 @@ class VitsSession:
         sid_j = self._put(sid, sharded=True)
 
         self.stats.record_hit(hit_key("duration", b_bucket, t_bucket))
+        self._note_compiled(hit_key("duration", b_bucket, t_bucket))
         durations, totals = self._dur_fn(
             self.params,
             ids_j,
@@ -1188,9 +1296,11 @@ class VitsSession:
             audio, sample_lengths = spec_result  # prediction held
             f_bucket = spec_bucket
         else:
-            self.stats.record_hit(
-                hit_key("decode", b_bucket, t_bucket, f_bucket)
-            )
+            # round up to the nearest warmed decode bucket (profile
+            # escape -> padding, not a hot-path compile)
+            f_bucket = self._fallback_f(b_bucket, t_bucket, f_bucket)
+            dec_key = hit_key("decode", b_bucket, t_bucket, f_bucket)
+            self.stats.record_hit(dec_key)
             audio, sample_lengths = self._dec_fn(
                 self.params,
                 ids_j,
@@ -1202,9 +1312,8 @@ class VitsSession:
                 num_frames=f_bucket,
             )
             with self._lock:
-                self._compiled_decode_keys.add(
-                    hit_key("decode", b_bucket, t_bucket, f_bucket)
-                )
+                self._compiled_decode_keys.add(dec_key)
+            self._note_compiled(dec_key)
         audio_np = np.asarray(audio, dtype=np.float32)
         sample_lengths_np = np.asarray(sample_lengths)
 
@@ -1690,6 +1799,11 @@ class VitsSession:
             len(combo_fbs(b, t)) for b, t in combos
         )
         done_counter = itertools.count(1)
+        # every signature this warmup compiles; installed as the
+        # session's warmed set at the end so profile-escaping traffic
+        # can round up to a warmed bucket (set.add is GIL-atomic; the
+        # warm_* callables run from the thread pool below)
+        warmed_acc: typing.Set[str] = set()
 
         def warm_bt(b: int, t: int):
             if _SHUTDOWN_EVENT.is_set():
@@ -1703,6 +1817,7 @@ class VitsSession:
                 self.params, ids, lengths, rng,
                 jnp.float32(1.0), jnp.float32(0.8), sid,
             )
+            warmed_acc.add(hit_key("duration", b, t))
             _LOGGER.info(
                 "warmup %d/%d: duration b=%d t=%d (%.0fs)",
                 next(done_counter), n_total, b, t,
@@ -1724,6 +1839,9 @@ class VitsSession:
                         "decode", ids.shape[0], ids.shape[1], f
                     )
                 )
+            warmed_acc.add(
+                hit_key("decode", ids.shape[0], ids.shape[1], f)
+            )
             _LOGGER.info(
                 "warmup %d/%d: decode b=%d f=%d (%.0fs)",
                 next(done_counter), n_total,
@@ -1782,12 +1900,14 @@ class VitsSession:
                     num_frames=min(chunk_windows),
                 )
             )
+            warmed_acc.add(hit_key("stream_start", 1, t, w0_b1))
             for w in wanted_ws:
                 self._dec_chunk_fn(
                     self.params, ids, lengths, durations, rng,
                     jnp.float32(0.667), sid, jnp.int32(0),
                     m_p, logs_p, num_frames=w,
                 )
+                warmed_acc.add(hit_key("chunk", 1, t, w))
                 n_chunk_compiles += 1
             n_chunk_compiles += 1  # stream-start (b=1)
             warmed_stream_bt.append((1, t))
@@ -1816,6 +1936,7 @@ class VitsSession:
                         num_frames=w0,
                     )
                 )
+                warmed_acc.add(hit_key("stream_start", b, t, w0))
                 if (
                     self.batched_continuations
                     and w_cont != w0
@@ -1828,6 +1949,7 @@ class VitsSession:
                         jnp.float32(0.667), s, jnp.int32(0),
                         m_p, logs_p, num_frames=w_cont,
                     )
+                    warmed_acc.add(hit_key("chunk", b, t, w_cont))
                 warmed_stream_bt.append((b, t))
                 _LOGGER.info(
                     "warmup stream-start b=%d t=%d (%.0fs)",
@@ -1914,6 +2036,10 @@ class VitsSession:
         self.stats.compile_count += n_total + n_chunk_compiles
         with self._lock:
             self._warmup_executable_baseline = self.jit_executable_count()
+            if self._warmed_keys is None:
+                self._warmed_keys = warmed_acc
+            else:  # repeated warmups extend the known-compiled set
+                self._warmed_keys |= warmed_acc
         _LOGGER.info("Warmup compiled %s buckets in %.1fs",
                      self.stats.compile_count, elapsed)
         return elapsed

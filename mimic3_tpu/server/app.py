@@ -185,10 +185,13 @@ class TtsApp:
     ) -> typing.Optional[typing.FrozenSet[str]]:
         """Parse --warmup-profile into a set of hit_key strings.
 
-        Accepts either a full /api/stats payload (keys unioned across
-        its voices' ``executable_hits`` tables) or a bare
+        Accepts a full /api/stats payload (keys unioned across its
+        voices' ``executable_hits`` tables), a single voice's stats
+        object (``{"executable_hits": {...}, ...}``), or a bare
         ``{hit_key: count}`` mapping — so the capture workflow is just
         ``curl /api/stats > profile.json`` on a representative run.
+        Malformed signatures fail loudly at startup (ValueError naming
+        the key) rather than crashing mid-warmup.
         """
         path = self.config.warmup_profile
         if not path:
@@ -200,8 +203,17 @@ class TtsApp:
         if "voices" in data and isinstance(data["voices"], dict):
             for voice in data["voices"].values():
                 keys.update(voice.get("executable_hits", {}))
+        elif isinstance(data.get("executable_hits"), dict):
+            keys.update(data["executable_hits"])
         else:
             keys.update(data)
+        for key in keys:
+            if not isinstance(key, str) or ":b" not in key:
+                raise ValueError(
+                    f"--warmup-profile {path}: {key!r} is not an "
+                    "executable signature; pass an /api/stats capture "
+                    "or a {hit_key: count} mapping"
+                )
         _LOGGER.info(
             "Warmup profile: %d executable signatures from %s",
             len(keys), path,
@@ -639,6 +651,11 @@ def build_server(app: TtsApp) -> HttpServer:
                 # --warmup-profile miss) and the profile needs
                 # re-capturing; the session logs each occurrence
                 "hot_path_compiles": session.hot_path_compiles(),
+                # natural->dispatched signature counts for requests
+                # that escaped the warmed set and rounded UP to a
+                # warmed bucket (paying padding, not a compile); any
+                # entries here also mean the profile is stale
+                "bucket_fallbacks": stats.fallbacks_snapshot(),
                 # per-executable dispatch counts: save this table and
                 # restart with --warmup-profile to warm only the
                 # executables this deployment's traffic actually hits

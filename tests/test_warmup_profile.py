@@ -88,6 +88,103 @@ def test_expand_profile_batches_closes_next_frame_bucket():
     assert set(out) == {"duration:b1:t64", "duration:b4:t64"}
 
 
+def test_expand_profile_batches_rejects_malformed_keys():
+    """A profile key that is not 'kind:bN:tN[:fN]' raises a ValueError
+    naming the key — found live: a single-voice stats object passed as
+    --warmup-profile leaked its metric names ('executable_hits') into
+    the profile and crashed mid-warmup with a bare IndexError."""
+    import pytest
+
+    from mimic3_tpu.runtime.session import expand_profile_batches
+
+    for bad in ("executable_hits", "duration:bx:t64", "decode:b1",
+                "decode:b1:t64:fx"):
+        with pytest.raises(ValueError, match="Malformed"):
+            expand_profile_batches({bad}, batch_buckets=(1, 2))
+
+
+def test_load_warmup_profile_shapes(tmp_path):
+    """--warmup-profile accepts a full /api/stats payload, a single
+    voice's stats object, or a bare {hit_key: count} mapping — and
+    rejects anything else loudly at startup."""
+    import pytest
+
+    from mimic3_tpu.server.__main__ import ServerConfig
+    from mimic3_tpu.server.app import TtsApp
+
+    def load(payload):
+        p = tmp_path / "profile.json"
+        p.write_text(json.dumps(payload))
+        app = TtsApp(ServerConfig(warmup_profile=str(p)))
+        return app._load_warmup_profile()
+
+    hits = {"duration:b1:t64": 5, "decode:b1:t64:f128": 5}
+    full = {"voices": {"en_UK/test_low": {"executable_hits": hits}}}
+    single = {"executable_hits": hits, "latency_p50_ms": 12.0}
+    assert load(full) == frozenset(hits)
+    assert load(single) == frozenset(hits)
+    assert load(hits) == frozenset(hits)
+    with pytest.raises(ValueError, match="not an executable signature"):
+        load({"latency_p50_ms": 12.0, "utterances": 5})
+
+
+def test_warmed_bucket_fallback(tmp_path):
+    """Traffic escaping the warmed profile rounds UP to the nearest
+    warmed bucket (padding) instead of compiling on the hot path —
+    executable count stays flat, the fallback is counted for /api/stats,
+    and the audio is identical to the natural-bucket result (buckets
+    only change masked padding)."""
+    import numpy as np
+
+    from mimic3_tpu.runtime.testvoice import create_test_voice
+    from mimic3_tpu.runtime.voice import TpuVoice
+
+    d = tmp_path / "en_US" / "test_low"
+    create_test_voice(d, full_size=False)
+    session = TpuVoice.load_from_directory(
+        d, share_sessions=False
+    ).session
+
+    # warm ONLY t=64 signatures at b=1 (a stale profile that never saw
+    # short texts)
+    session.warmup(
+        batch_sizes=[1],
+        profile={"duration:b1:t64", "decode:b1:t64:f128"},
+    )
+    n_exec = session.jit_executable_count()
+
+    ids = [3, 7, 1, 9, 4]  # natural bucket t=32 — NOT warmed
+    audio = session.synthesize_ids(ids, noise_scale=0.0, noise_w=0.0)
+
+    assert session.jit_executable_count() == n_exec  # no compile
+    assert session.hot_path_compiles() == 0
+    fb = session.stats.fallbacks_snapshot()
+    assert fb.get("duration:b1:t32->duration:b1:t64") == 1
+
+    # identical audio to a natural-bucket synthesis (fresh session, no
+    # warmup -> no fallback)
+    session2 = TpuVoice.load_from_directory(
+        d, share_sessions=False
+    ).session
+    audio2 = session2.synthesize_ids(ids, noise_scale=0.0, noise_w=0.0)
+    np.testing.assert_array_equal(audio, audio2)
+
+    # helper unit behavior on a hand-built warmed set
+    with session._lock:
+        session._warmed_keys = {
+            "duration:b1:t128",
+            "decode:b1:t128:f512",
+        }
+    assert session._fallback_t(1, 32) == 128
+    assert session._fallback_t(2, 32) == 32  # batch mismatch: natural
+    assert session._fallback_f(1, 128, 128) == 512
+    assert session._fallback_f(1, 128, 1024) == 1024  # none larger
+    # compiled-on-hot-path keys count as warmed for decode
+    with session._lock:
+        session._compiled_decode_keys.add("decode:b1:t128:f256")
+    assert session._fallback_f(1, 128, 256) == 256
+
+
 def test_hot_path_compile_guard(tmp_path, caplog):
     """The runtime guard behind /api/stats ``hot_path_compiles``: zero
     while traffic stays inside the warmed set, counts (and warns once

@@ -979,11 +979,18 @@ class VitsSession:
             if self._warmed_keys is not None:
                 self._warmed_keys.add(key)
 
-    def _fallback_t(self, b_bucket: int, t_bucket: int) -> int:
-        """Nearest warmed text bucket >= the natural one.
+    def _fallback_t(
+        self,
+        kind: str,
+        b_bucket: int,
+        t_bucket: int,
+        f: typing.Optional[int] = None,
+    ) -> int:
+        """Nearest warmed text bucket >= the natural one for ``kind``.
 
         Engages only after a warmup recorded the compiled set: a
-        request whose natural ``duration`` signature was never warmed
+        request whose natural signature (``duration`` on the batch
+        path, ``stream_start`` on the streaming path) was never warmed
         (live traffic escaped a ``--warmup-profile`` capture) pays a
         few extra padding columns at a larger warmed bucket instead of
         a multi-minute XLA compile on the serving path.  Padding never
@@ -995,13 +1002,13 @@ class VitsSession:
             warmed = self._warmed_keys
         if warmed is None or self.allow_bucket_growth:
             return t_bucket
-        natural = hit_key("duration", b_bucket, t_bucket)
+        natural = hit_key(kind, b_bucket, t_bucket, f)
         if natural in warmed:
             return t_bucket
         for t in self.text_buckets:
             if t <= t_bucket:
                 continue
-            used = hit_key("duration", b_bucket, t)
+            used = hit_key(kind, b_bucket, t, f)
             if used in warmed:
                 if self.stats.record_bucket_fallback(natural, used) == 1:
                     _LOGGER.warning(
@@ -1179,7 +1186,7 @@ class VitsSession:
             self.text_buckets,
             grow=self.allow_bucket_growth,
         )
-        t_bucket = self._fallback_t(b_bucket, t_bucket)
+        t_bucket = self._fallback_t("duration", b_bucket, t_bucket)
         ids = np.zeros((b_bucket, t_bucket), np.int32)
         for i, seq in enumerate(id_sequences):
             ids[i, : len(seq)] = np.asarray(seq, np.int32)
@@ -1508,10 +1515,20 @@ class VitsSession:
             b_bucket = -(-b_bucket // self.dp) * self.dp
         lengths = np.ones((b_bucket,), np.int32)
         lengths[:batch] = [len(s) for s in id_sequences]
+        first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
+        window0 = first_cf + 2 * overlap
+
         t_bucket = pick_bucket(
             max(1, int(lengths[:batch].max())),
             self.text_buckets,
             grow=self.allow_bucket_growth,
+        )
+        # profile escape -> padding, not a hot-path compile (window0 is
+        # config-fixed, so only the text axis can miss the warmed set;
+        # continuations inherit the rounded-up t so their chunk
+        # signatures stay inside the warmed grid too)
+        t_bucket = self._fallback_t(
+            "stream_start", b_bucket, t_bucket, window0
         )
         ids = np.zeros((b_bucket, t_bucket), np.int32)
         for i, seq in enumerate(id_sequences):
@@ -1520,15 +1537,15 @@ class VitsSession:
         if speaker_ids is not None:
             sid[:batch] = [s or 0 for s in speaker_ids]
 
-        first_cf = min(first_chunk_frames or chunk_frames, chunk_frames)
-        window0 = first_cf + 2 * overlap
-
         rng = self._put(self._next_key(seed), sharded=False)
         ids_j = self._put(ids, sharded=True)
         lengths_j = self._put(lengths, sharded=True)
         sid_j = self._put(sid, sharded=True)
 
         self.stats.record_hit(
+            hit_key("stream_start", b_bucket, t_bucket, window0)
+        )
+        self._note_compiled(
             hit_key("stream_start", b_bucket, t_bucket, window0)
         )
         durations, totals, m_p, logs_p, audio0 = self._stream_start_fn(

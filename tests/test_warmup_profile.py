@@ -175,14 +175,72 @@ def test_warmed_bucket_fallback(tmp_path):
             "duration:b1:t128",
             "decode:b1:t128:f512",
         }
-    assert session._fallback_t(1, 32) == 128
-    assert session._fallback_t(2, 32) == 32  # batch mismatch: natural
+    assert session._fallback_t("duration", 1, 32) == 128
+    # batch mismatch: natural
+    assert session._fallback_t("duration", 2, 32) == 32
     assert session._fallback_f(1, 128, 128) == 512
     assert session._fallback_f(1, 128, 1024) == 1024  # none larger
     # compiled-on-hot-path keys count as warmed for decode
     with session._lock:
         session._compiled_decode_keys.add("decode:b1:t128:f256")
     assert session._fallback_f(1, 128, 256) == 256
+
+
+def test_warmed_bucket_fallback_streaming(tmp_path):
+    """The streaming path has the same guard: a stream whose natural
+    text bucket escaped the warmed profile starts at the nearest warmed
+    stream_start signature (window0 is config-fixed, so only the text
+    axis can miss) and its continuations inherit the rounded-up bucket,
+    staying inside the warmed chunk grid."""
+    import numpy as np
+
+    from mimic3_tpu.runtime.testvoice import create_test_voice
+    from mimic3_tpu.runtime.voice import TpuVoice
+
+    d = tmp_path / "en_US" / "test_low"
+    create_test_voice(d, full_size=False)
+    session = TpuVoice.load_from_directory(
+        d, share_sessions=False
+    ).session
+
+    # stale profile: only t=64 streaming signatures
+    # (window0 = first_cf 128 + 2*overlap 64 = 256 at the defaults)
+    session.warmup(
+        batch_sizes=[1],
+        chunk_windows=(256,),
+        profile={"stream_start:b1:t64:f256", "chunk:b1:t64:f256"},
+    )
+    n_exec = session.jit_executable_count()
+
+    ids = [3, 7, 1, 9, 4]  # natural bucket t=32 — NOT warmed
+    audio = np.concatenate(
+        list(
+            session.synthesize_ids_chunked(
+                ids, seed=7, noise_scale=0.0, noise_w=0.0
+            )
+        )
+    )
+
+    assert session.jit_executable_count() == n_exec  # no compile
+    assert session.hot_path_compiles() == 0
+    fb = session.stats.fallbacks_snapshot()
+    assert (
+        fb.get("stream_start:b1:t32:f256->stream_start:b1:t64:f256")
+        == 1
+    )
+
+    # bucket-invariant: identical to a natural-bucket stream
+    session2 = TpuVoice.load_from_directory(
+        d, share_sessions=False
+    ).session
+    audio2 = np.concatenate(
+        list(
+            session2.synthesize_ids_chunked(
+                ids, seed=7, noise_scale=0.0, noise_w=0.0
+            )
+        )
+    )
+    np.testing.assert_array_equal(audio, audio2)
 
 
 def test_hot_path_compile_guard(tmp_path, caplog):

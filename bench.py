@@ -67,6 +67,15 @@ def main() -> int:
         "(this machine's TPU tunnel can hang indefinitely)",
     )
     parser.add_argument(
+        "--parallel-precompile",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="Overlap every executable load/compile in a thread pool "
+        "before the timed sections (remote compile-service loads are "
+        "latency-bound; round-5 measured the whole warm-warmup cost "
+        "in serialized iteration-0 loads)",
+    )
+    parser.add_argument(
         "--throughput",
         action="store_true",
         help="Throughput-mode preset (docs/STATUS.md deployment "
@@ -270,63 +279,11 @@ def _run(args) -> int:
 
     dec_fn = jax.jit(_dec, static_argnames=("num_frames",))
 
-    def synthesize(step_rng):
-        durations, _totals = dur_fn(
-            params, ids, lengths, step_rng,
-            jnp.float32(length_scale), jnp.float32(0.8), sid,
-        )
-        checksum, sample_lengths = dec_fn(
-            params, ids, lengths, durations, args.frames, step_rng,
-            jnp.float32(0.667), sid,
-        )
-        return checksum, sample_lengths
-
-    # warmup / compile — timed PER ITERATION: iteration 0 pays the
-    # dur+dec compile (or persistent-cache load), later iterations are
-    # steady-state.  BENCH_r04 recorded a 225.9s warmup on a warm cache
-    # with only 5 new entries and nobody could say where the time went
-    # (VERDICT r04 weak #4); the breakdown makes that diagnosable from
-    # the artifact alone.
-    warmup_iters_sec = []
-    t0 = time.perf_counter()
-    for i in range(args.warmup):
-        t_it = time.perf_counter()
-        checksum, sample_lengths = synthesize(jax.random.fold_in(rng, i))
-        float(checksum)  # force completion
-        warmup_iters_sec.append(
-            round(time.perf_counter() - t_it, 2)
-        )
-    warmup_sec = time.perf_counter() - t0
-    print(
-        f"warmup+compile: {warmup_sec:.1f}s (per-iter "
-        f"{warmup_iters_sec})",
-        file=sys.stderr,
-    )
-
-    # timed: full pipeline including the duration->frames host sync.
-    # NOTE on this environment: each host->device call pays ~25ms tunnel
-    # latency, so per-call timing under-reports the chip. We report the
-    # per-call number (honest serving view through this tunnel) plus an
-    # in-graph-loop device number (what the chip itself sustains).
-    total_audio_sec = 0.0
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        checksum, sample_lengths = synthesize(
-            jax.random.fold_in(rng, 1000 + i)
-        )
-        float(checksum)  # force completion of this iteration's decode
-        # cap valid samples at the decode capacity, like serving does
-        lengths_np = np.minimum(
-            np.asarray(sample_lengths), args.frames * hop
-        )
-        total_audio_sec += float(lengths_np.sum()) / sample_rate
-    elapsed = time.perf_counter() - t0
-
-    throughput = total_audio_sec / elapsed
-
-    # device-side throughput: N full pipelines (duration pass + decode)
-    # chained inside ONE executable, counting only VALID audio samples —
-    # isolates chip time from the ~25ms/call tunnel round trips
+    # device-side throughput loop (used later, defined here so the
+    # parallel precompile below can include it): N full pipelines
+    # (duration pass + decode) chained inside ONE executable, counting
+    # only VALID audio samples — isolates chip time from the
+    # ~25ms/call tunnel round trips
     loop_n = 8
 
     @jax.jit
@@ -352,6 +309,143 @@ def _run(args) -> int:
             0, loop_n, body, (0.0, jnp.int32(0))
         )
         return acc, samples
+
+    def synthesize(step_rng):
+        durations, _totals = dur_fn(
+            params, ids, lengths, step_rng,
+            jnp.float32(length_scale), jnp.float32(0.8), sid,
+        )
+        checksum, sample_lengths = dec_fn(
+            params, ids, lengths, durations, args.frames, step_rng,
+            jnp.float32(0.667), sid,
+        )
+        return checksum, sample_lengths
+
+    # Parallel precompile: round-5 instrumentation showed the warm-cache
+    # warmup cost sits entirely in iteration 0's executable loads
+    # through the remote compile service (88-550s observed for the SAME
+    # two executables, 0 new cache entries — service weather), and the
+    # loads were paid one executable at a time.  Dispatch a dummy call
+    # for EVERY signature this bench will use from a thread pool so the
+    # per-executable load latencies overlap (same approach as
+    # VitsSession.warmup(parallel=4), which compiles a 20-signature
+    # profile in ~190s where the bench paid ~330s for two).  A failure
+    # here degrades to the sequential warmup loop below, never kills
+    # the bench.
+    precompile_sec = 0.0
+    if args.parallel_precompile:
+        t_pc = time.perf_counter()
+        n_jobs = 0
+        try:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _shapes(b):
+                ids_b = jnp.zeros((b, args.phonemes), jnp.int32)
+                len_b = jnp.full((b,), args.phonemes, jnp.int32)
+                sid_b = (
+                    jnp.zeros((b,), jnp.int32)
+                    if args.multispeaker
+                    else None
+                )
+                return ids_b, len_b, sid_b
+
+            def warm_dur(b):
+                ids_b, len_b, sid_b = _shapes(b)
+                _, totals = dur_fn(
+                    params, ids_b, len_b, rng,
+                    jnp.float32(length_scale), jnp.float32(0.8), sid_b,
+                )
+                np.asarray(totals)
+
+            def warm_dec(b):
+                ids_b, len_b, sid_b = _shapes(b)
+                checksum, _ = dec_fn(
+                    params, ids_b, len_b,
+                    jnp.ones((b, args.phonemes), jnp.int32),
+                    args.frames, rng, jnp.float32(0.667), sid_b,
+                )
+                float(checksum)
+
+            def warm_loop(b):
+                ids_b, len_b, sid_b = _shapes(b)
+                acc, _ = pipeline_loop(params, ids_b, len_b, rng, sid_b)
+                float(acc)
+
+            jobs = [
+                lambda: warm_dur(args.batch),
+                lambda: warm_dec(args.batch),
+                lambda: warm_loop(args.batch),
+            ]
+            if args.batch32 and args.batch != 32:
+                jobs.append(lambda: warm_loop(32))
+            if args.single_stream:
+                jobs.append(lambda: warm_dur(1))
+                jobs.append(lambda: warm_dec(1))
+            n_jobs = len(jobs)
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futures = [pool.submit(j) for j in jobs]
+                errs = [f.exception() for f in futures]
+            for e in errs:
+                if e is not None:
+                    raise e
+        except Exception as exc:  # noqa: BLE001 — degrade, never die
+            print(
+                f"parallel precompile failed ({exc!r}); "
+                "falling back to sequential warmup",
+                file=sys.stderr,
+            )
+        precompile_sec = time.perf_counter() - t_pc
+        print(
+            f"parallel precompile: {precompile_sec:.1f}s "
+            f"({n_jobs} signatures)",
+            file=sys.stderr,
+        )
+
+    # warmup / compile — timed PER ITERATION: iteration 0 pays the
+    # dur+dec compile (or persistent-cache load) unless the parallel
+    # precompile above already did, later iterations are steady-state.
+    # BENCH_r04 recorded a 225.9s warmup on a warm cache with only 5
+    # new entries and nobody could say where the time went (VERDICT
+    # r04 weak #4); the breakdown makes that diagnosable from the
+    # artifact alone.
+    warmup_iters_sec = []
+    t0 = time.perf_counter()
+    for i in range(args.warmup):
+        t_it = time.perf_counter()
+        checksum, sample_lengths = synthesize(jax.random.fold_in(rng, i))
+        float(checksum)  # force completion
+        warmup_iters_sec.append(
+            round(time.perf_counter() - t_it, 2)
+        )
+    # time-to-ready = parallel precompile (if any) + the warmup loop;
+    # keeps warmup_compile_sec comparable across rounds
+    warmup_sec = precompile_sec + time.perf_counter() - t0
+    print(
+        f"warmup+compile: {warmup_sec:.1f}s (precompile "
+        f"{precompile_sec:.1f}s, per-iter {warmup_iters_sec})",
+        file=sys.stderr,
+    )
+
+    # timed: full pipeline including the duration->frames host sync.
+    # NOTE on this environment: each host->device call pays ~25ms tunnel
+    # latency, so per-call timing under-reports the chip. We report the
+    # per-call number (honest serving view through this tunnel) plus an
+    # in-graph-loop device number (what the chip itself sustains).
+    total_audio_sec = 0.0
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        checksum, sample_lengths = synthesize(
+            jax.random.fold_in(rng, 1000 + i)
+        )
+        float(checksum)  # force completion of this iteration's decode
+        # cap valid samples at the decode capacity, like serving does
+        lengths_np = np.minimum(
+            np.asarray(sample_lengths), args.frames * hop
+        )
+        total_audio_sec += float(lengths_np.sum()) / sample_rate
+    elapsed = time.perf_counter() - t0
+
+    throughput = total_audio_sec / elapsed
 
     def time_pipeline_loop(ids_in, lengths_in, sid_in, reps=3):
         """Compile + run the in-graph loop; (audio-s/s, s/pipeline)."""
@@ -445,6 +539,7 @@ def _run(args) -> int:
             "warmup_breakdown": {
                 "device_init_sec": round(device_init_sec, 1),
                 "params_init_sec": round(params_init_sec, 1),
+                "parallel_precompile_sec": round(precompile_sec, 1),
                 "warmup_iters_sec": warmup_iters_sec,
             },
             "compile_cache_new_entries": (

@@ -43,6 +43,7 @@ class ServerConfig:
     batch_delay_max_ms: float = 25.0
     warmup: bool = False
     warmup_profile: typing.Optional[str] = None
+    warmup_parallel: int = 4
     profile_dir: typing.Optional[str] = None
 
 
@@ -135,6 +136,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "executables named in it instead of the full bucket grid",
     )
     parser.add_argument(
+        "--warmup-parallel", type=int, default=4,
+        help="Concurrent executable compiles/loads during --warmup "
+        "(loads through a remote compile service are latency-bound, "
+        "so more overlap directly shortens startup)",
+    )
+    parser.add_argument(
         "--profile-dir",
         help="Directory for jax.profiler traces captured via "
         "POST /api/profile (TensorBoard/xprof format)",
@@ -192,6 +199,7 @@ def config_from_args(args: argparse.Namespace) -> ServerConfig:
         batch_delay_max_ms=args.batch_delay_max_ms,
         warmup=args.warmup,
         warmup_profile=args.warmup_profile,
+        warmup_parallel=args.warmup_parallel,
         profile_dir=args.profile_dir,
     )
 

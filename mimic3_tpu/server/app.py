@@ -242,6 +242,9 @@ class TtsApp:
                     batch_sizes=bb,
                     chunk_windows=_STREAM_WINDOWS,
                     profile=warmup_profile,
+                    parallel=getattr(
+                        self.config, "warmup_parallel", 4
+                    ),
                 )
 
     # -- synthesis ----------------------------------------------------------------

@@ -330,3 +330,54 @@ def test_server_profile_parsing(tmp_path):
     # unset -> no pruning
     app.config.warmup_profile = None
     assert TtsApp._load_warmup_profile(app) is None
+
+
+def test_warmup_parallel_passthrough():
+    """--warmup-parallel reaches VitsSession.warmup(parallel=...).
+
+    Executable loads through a remote compile service are
+    latency-bound, so the overlap width is the startup-time knob; a
+    deployment raising the flag must actually get the wider pool."""
+    from mimic3_tpu.server.__main__ import (
+        ServerConfig,
+        build_arg_parser,
+        config_from_args,
+    )
+    from mimic3_tpu.server.app import TtsApp
+
+    args = build_arg_parser().parse_args(
+        ["--warmup", "--warmup-parallel", "9",
+         "--preload-voice", "en_US/fake_low"]
+    )
+    config = config_from_args(args)
+    assert config.warmup_parallel == 9
+
+    calls = {}
+
+    class FakeSession:
+        dp = 1
+        batch_buckets = (1, 2, 4)
+
+        def warmup(self, **kw):
+            calls.update(kw)
+
+    class FakeVoice:
+        session = FakeSession()
+
+    app = TtsApp.__new__(TtsApp)
+    app.config = config
+
+    class FakeCatalog:
+        def _get_or_load_voice(self, key):
+            return FakeVoice()
+
+    app._catalog = FakeCatalog()
+    app._wire_session = lambda key, voice: None
+    app.preload()
+    assert calls["parallel"] == 9
+    assert calls["batch_sizes"] == [1, 2, 4]
+
+    # default stays at the historical 4 when the flag is absent
+    defaults = config_from_args(build_arg_parser().parse_args([]))
+    assert defaults.warmup_parallel == 4
+    assert ServerConfig().warmup_parallel == 4
